@@ -1,0 +1,129 @@
+"""Masked material dispatch for the ray wavefront.
+
+Replaces ``dyn Material`` virtual calls (material.rs:15-22) with a
+4-way masked select: every branch is computed for every lane (cheap on
+the VPU) and combined by material id.  Semantics match the reference
+exactly:
+
+* lambertian — dir = normal + random-on-unit-sphere; degenerate
+  (near-zero) direction falls back to the normal (material.rs:41-47);
+* metal — mirror reflection of the *unit* incident direction; the ray
+  is ABSORBED (no scatter, only emitted light survives) when the
+  unfuzzed reflection points below the surface (material.rs:77-93: the
+  dot test runs before fuzz is added);
+* dielectric — eta ratio flips with front_face, total internal
+  reflection OR a stochastic Schlick coin chooses reflect vs refract,
+  attenuation is exactly (1,1,1) (material.rs:117-143).  Quirk kept:
+  Schlick is evaluated with the eta *ratio*, not the absolute IOR
+  (material.rs:109-113,128);
+* diffuse light — never scatters; emits only on the front face
+  (material.rs:159-166).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from rust_pathtracer_tpu import vecmath as vm
+from rust_pathtracer_tpu.ops.intersect import HitRecord
+from rust_pathtracer_tpu.scene.types import (
+    MAT_DIELECTRIC,
+    MAT_LAMBERTIAN,
+    MAT_LIGHT,
+    MAT_METAL,
+)
+from rust_pathtracer_tpu.textures import eval_texture
+
+
+class ScatterResult(NamedTuple):
+    did_scatter: jnp.ndarray  # bool (R,)
+    direction: jnp.ndarray    # f32 (R, 3) — unnormalized, like the reference
+    attenuation: jnp.ndarray  # f32 (R, 3)
+
+
+def emitted(scene, hit: HitRecord):
+    """Emitted radiance at the hit (material.rs:159-166): light material
+    only, gated on front_face (one-sided emitters)."""
+    mats = scene.materials
+    kind = mats.kind[hit.mat]
+    if MAT_LIGHT not in scene.mat_types:
+        return jnp.zeros_like(hit.point)
+    emit_tex = eval_texture(
+        scene.textures, mats.tex[hit.mat], hit.u, hit.v, hit.point, scene.tex_types
+    )
+    on = (kind == MAT_LIGHT) & hit.front_face
+    return jnp.where(on[..., None], emit_tex, 0.0)
+
+
+def scatter(scene, hit: HitRecord, d_in, sphere_dir, ball_dir, coin) -> ScatterResult:
+    """Scatter the wavefront off its hit materials.
+
+    d_in: incident (unnormalized) directions; sphere_dir: per-lane
+    uniform points ON the unit sphere; ball_dir: per-lane uniform points
+    IN the unit ball; coin: per-lane U[0,1) for the dielectric's
+    reflect/refract choice.
+    """
+    mats = scene.materials
+    kind = mats.kind[hit.mat]
+    n = hit.normal
+
+    needs_albedo = (MAT_LAMBERTIAN in scene.mat_types) or (
+        MAT_METAL in scene.mat_types
+    )
+    albedo = (
+        eval_texture(
+            scene.textures, mats.tex[hit.mat], hit.u, hit.v, hit.point, scene.tex_types
+        )
+        if needs_albedo
+        else jnp.zeros_like(hit.point)
+    )
+
+    did = jnp.zeros(kind.shape, bool)
+    direction = jnp.zeros_like(d_in)
+    attenuation = jnp.zeros_like(albedo)
+
+    if MAT_LAMBERTIAN in scene.mat_types:
+        d_l = n + sphere_dir
+        d_l = vm.where(vm.near_zero(d_l), n, d_l)  # material.rs:44-47
+        sel = kind == MAT_LAMBERTIAN
+        did |= sel
+        direction = vm.where(sel, d_l, direction)
+        attenuation = vm.where(sel, albedo, attenuation)
+
+    if MAT_METAL in scene.mat_types:
+        refl = vm.reflect(vm.normalize(d_in), n)
+        ok = vm.dot(refl, n) > 0.0  # absorb below-surface (material.rs:80,91)
+        fuzz = mats.fuzz[hit.mat]
+        d_m = refl + fuzz[..., None] * ball_dir
+        sel = kind == MAT_METAL
+        did |= sel & ok
+        direction = vm.where(sel, d_m, direction)
+        attenuation = vm.where(sel, albedo, attenuation)
+
+    if MAT_DIELECTRIC in scene.mat_types:
+        ir = mats.ir[hit.mat]
+        ratio = jnp.where(hit.front_face, 1.0 / ir, ir)  # material.rs:118-122
+        ud = vm.normalize(d_in)
+        cos_t = jnp.minimum(vm.dot(-ud, n), 1.0)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        cannot_refract = ratio * sin_t > 1.0
+        reflect_coin = _schlick(cos_t, ratio) > coin  # material.rs:126-131
+        choose_reflect = cannot_refract | reflect_coin
+        d_d = vm.where(
+            choose_reflect, vm.reflect(ud, n), vm.refract(ud, n, ratio)
+        )
+        sel = kind == MAT_DIELECTRIC
+        did |= sel
+        direction = vm.where(sel, d_d, direction)
+        attenuation = vm.where(sel, jnp.ones_like(attenuation), attenuation)
+
+    # MAT_LIGHT: default no-scatter (material.rs:16-18)
+    return ScatterResult(did_scatter=did, direction=direction, attenuation=attenuation)
+
+
+def _schlick(cosine, refraction_index):
+    """Schlick approximation r0 + (1-r0)(1-cos)^5 (material.rs:109-113)."""
+    r0 = ((1.0 - refraction_index) / (1.0 + refraction_index)) ** 2
+    return r0 + (1.0 - r0) * (1.0 - cosine) ** 5

@@ -1,0 +1,110 @@
+"""ctypes bindings for the native C++ host runtime (csrc/).
+
+The reference's host-side work (BVH construction bvh.rs:65-103, OBJ
+parsing obj_model.rs) is native Rust; here the equivalents are C++
+compiled to ``libptnative.so`` and loaded with ctypes.  Everything has
+a pure-python fallback so the framework runs without a toolchain; the
+native path is auto-built on first use when g++ is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_LIB_LOCK = threading.Lock()
+_LIB = None
+_TRIED = False
+
+_CSRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "csrc")
+_SO_PATH = os.path.join(_CSRC, "libptnative.so")
+
+
+def _try_build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-s"],
+            cwd=_CSRC,
+            check=True,
+            capture_output=True,
+            timeout=180,
+        )
+        return os.path.exists(_SO_PATH)
+    except Exception:
+        return False
+
+
+def _load():
+    global _LIB, _TRIED
+    with _LIB_LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        if not os.path.exists(_SO_PATH) and not _try_build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            return None
+
+        lib.pt_build_bvh.restype = ctypes.c_int
+        lib.pt_build_bvh.argtypes = [
+            ctypes.POINTER(ctypes.c_float),  # bbox_min [n,3]
+            ctypes.POINTER(ctypes.c_float),  # bbox_max [n,3]
+            ctypes.c_int,                    # n
+            ctypes.c_int,                    # leaf_size
+            ctypes.POINTER(ctypes.c_float),  # out node bbox_min [2n,3]
+            ctypes.POINTER(ctypes.c_float),  # out node bbox_max [2n,3]
+            ctypes.POINTER(ctypes.c_int),    # out miss [2n]
+            ctypes.POINTER(ctypes.c_int),    # out leaf_first [2n]
+            ctypes.POINTER(ctypes.c_int),    # out leaf_count [2n]
+            ctypes.POINTER(ctypes.c_int),    # out prim_order [n]
+        ]
+        _LIB = lib
+        return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def build_bvh(bbox_min: np.ndarray, bbox_max: np.ndarray, leaf_size: int = 4):
+    """Native threaded-BVH build; same layout as bvh.build_bvh_numpy."""
+    from rust_pathtracer_tpu.bvh import FlatBvh, build_bvh_numpy
+
+    lib = _load()
+    if lib is None:
+        return build_bvh_numpy(bbox_min, bbox_max, leaf_size)
+
+    n = int(bbox_min.shape[0])
+    bmin = np.ascontiguousarray(bbox_min, np.float32)
+    bmax = np.ascontiguousarray(bbox_max, np.float32)
+    cap = 2 * n
+    nmin = np.empty((cap, 3), np.float32)
+    nmax = np.empty((cap, 3), np.float32)
+    miss = np.empty(cap, np.int32)
+    leaf_first = np.empty(cap, np.int32)
+    leaf_count = np.empty(cap, np.int32)
+    order = np.empty(n, np.int32)
+
+    fptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    iptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+    nodes = lib.pt_build_bvh(
+        fptr(bmin), fptr(bmax), n, int(leaf_size),
+        fptr(nmin), fptr(nmax), iptr(miss), iptr(leaf_first), iptr(leaf_count),
+        iptr(order),
+    )
+    if nodes <= 0:
+        return build_bvh_numpy(bbox_min, bbox_max, leaf_size)
+    return FlatBvh(
+        bbox_min=nmin[:nodes].copy(),
+        bbox_max=nmax[:nodes].copy(),
+        miss=miss[:nodes].copy(),
+        leaf_first=leaf_first[:nodes].copy(),
+        leaf_count=leaf_count[:nodes].copy(),
+        prim_order=order.copy(),
+    )

@@ -1,0 +1,187 @@
+"""Wavefront OBJ + MTL ingestion -> triangle rows in a SceneBuilder.
+
+Behavioral parity with obj_model.rs:19-111 (which uses the tobj crate
+with triangulate=true, single_index=false):
+
+* faces with >3 vertices are fan-triangulated;
+* MTL material mapping (obj_model.rs:28-50):
+    illum 7 -> Dielectric(optical_density Ni)
+    illum 5 -> Metal(diffuse Kd, fuzz = 1 / shininess Ns)
+    else    -> Lambertian(diffuse Kd)
+  faces without a material -> Lambertian(0.2, 0.7, 0.2) (obj_model.rs:82-84);
+* triangle normal: the OBJ normal of the face's FIRST vertex when
+  normals exist, else the geometric normal (obj_model.rs:87-96).
+
+A C++ parser (csrc/obj_loader.cpp) provides the fast path for large
+meshes; this python version is the correctness oracle and fallback.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+def parse_mtl(path: str) -> Dict[str, dict]:
+    """Parse the subset of MTL the reference consumes: Kd, Ns, Ni, illum."""
+    materials: Dict[str, dict] = {}
+    cur: Optional[dict] = None
+    if not os.path.exists(path):
+        return materials
+    with open(path, "r") as f:
+        for line in f:
+            parts = line.split()
+            if not parts or parts[0].startswith("#"):
+                continue
+            tag = parts[0]
+            if tag == "newmtl":
+                cur = dict(kd=(0.8, 0.8, 0.8), ns=1.0, ni=1.0, illum=2)
+                materials[parts[1]] = cur
+            elif cur is None:
+                continue
+            elif tag == "Kd":
+                cur["kd"] = tuple(float(x) for x in parts[1:4])
+            elif tag == "Ns":
+                cur["ns"] = float(parts[1])
+            elif tag == "Ni":
+                cur["ni"] = float(parts[1])
+            elif tag == "illum":
+                cur["illum"] = int(parts[1])
+    return materials
+
+
+def parse_obj(path: str):
+    """Parse OBJ geometry.
+
+    Returns (vertices (T,3,3) f64, normals (T,3) f64 or None rows masked
+    by has_normal (T,), material names per triangle (list of str|None),
+    mtl file materials dict).
+    """
+    positions: List[Tuple[float, float, float]] = []
+    vnormals: List[Tuple[float, float, float]] = []
+    tris: List[Tuple[int, int, int]] = []
+    tri_norm_idx: List[int] = []  # normal index of the face's first vertex, -1 if none
+    tri_mtl: List[Optional[str]] = []
+    materials: Dict[str, dict] = {}
+    current_mtl: Optional[str] = None
+
+    base = os.path.dirname(os.path.abspath(path))
+    with open(path, "r") as f:
+        for line in f:
+            parts = line.split()
+            if not parts or parts[0].startswith("#"):
+                continue
+            tag = parts[0]
+            if tag == "v":
+                positions.append(tuple(float(x) for x in parts[1:4]))
+            elif tag == "vn":
+                vnormals.append(tuple(float(x) for x in parts[1:4]))
+            elif tag == "mtllib":
+                materials.update(parse_mtl(os.path.join(base, parts[1])))
+            elif tag == "usemtl":
+                current_mtl = parts[1]
+            elif tag == "f":
+                corners = []
+                for vspec in parts[1:]:
+                    fields = vspec.split("/")
+                    vi = int(fields[0])
+                    vi = vi - 1 if vi > 0 else len(positions) + vi
+                    ni = -1
+                    if len(fields) >= 3 and fields[2]:
+                        n = int(fields[2])
+                        ni = n - 1 if n > 0 else len(vnormals) + n
+                    corners.append((vi, ni))
+                # fan triangulation (tobj triangulate=true)
+                for i in range(1, len(corners) - 1):
+                    tris.append((corners[0][0], corners[i][0], corners[i + 1][0]))
+                    tri_norm_idx.append(corners[0][1])  # first vertex's normal
+                    tri_mtl.append(current_mtl)
+
+    pos = np.asarray(positions, np.float64)
+    verts = pos[np.asarray(tris, np.int64)] if tris else np.zeros((0, 3, 3))
+    norm_idx = np.asarray(tri_norm_idx, np.int64) if tris else np.zeros(0, np.int64)
+    vns = (
+        np.asarray(vnormals, np.float64) if vnormals else np.zeros((0, 3), np.float64)
+    )
+    return verts, vns, norm_idx, tri_mtl, materials
+
+
+def load_obj_into(builder, path: str, default_material: Optional[int] = None) -> int:
+    """Append an OBJ's triangles to ``builder``; returns triangle count."""
+    verts, vns, norm_idx, tri_mtl, mtl_defs = parse_obj(path)
+    tcount = verts.shape[0]
+    if tcount == 0:
+        raise ValueError(f"OBJ {path!r} contains no triangles")
+
+    # map MTL definitions -> material ids (obj_model.rs:28-50)
+    mat_ids: Dict[Optional[str], int] = {}
+    for name, m in mtl_defs.items():
+        if m["illum"] == 7:
+            mat_ids[name] = builder.dielectric(m["ni"])
+        elif m["illum"] == 5:
+            mat_ids[name] = builder.metal(m["kd"], 1.0 / m["ns"])
+        else:
+            mat_ids[name] = builder.lambertian(m["kd"])
+    missing = (
+        default_material
+        if default_material is not None
+        else builder.lambertian((0.2, 0.7, 0.2))  # obj_model.rs:82-84
+    )
+
+    tri_mats = np.asarray(
+        [mat_ids.get(m, missing) if m is not None else missing for m in tri_mtl],
+        np.int32,
+    )
+
+    # normals: first vertex's OBJ normal when present, else geometric
+    e1 = verts[:, 1] - verts[:, 0]
+    e2 = verts[:, 2] - verts[:, 0]
+    geo_n = np.cross(e1, e2)
+    geo_n = geo_n / np.maximum(np.linalg.norm(geo_n, axis=-1, keepdims=True), 1e-30)
+    has_n = (norm_idx >= 0) & (norm_idx < vns.shape[0])
+    if vns.shape[0] == 0:
+        normals = geo_n
+    else:
+        normals = np.where(
+            has_n[:, None], vns[np.clip(norm_idx, 0, vns.shape[0] - 1)], geo_n
+        )
+
+    builder.add_triangles(verts, tri_mats, normals)
+    return tcount
+
+
+def write_test_obj(path: str, with_mtl: bool = True) -> None:
+    """Emit a small test asset (pyramid + cube) exercising the MTL
+    mapping paths; used by tests and the ModelTest demo."""
+    base = os.path.dirname(os.path.abspath(path))
+    os.makedirs(base, exist_ok=True)
+    stem = os.path.splitext(os.path.basename(path))[0]
+    mtl_name = stem + ".mtl"
+    if with_mtl:
+        with open(os.path.join(base, mtl_name), "w") as f:
+            f.write(
+                "newmtl body\nKd 0.7 0.3 0.2\nNs 10.0\nNi 1.0\nillum 2\n"
+                "newmtl shiny\nKd 0.9 0.9 0.6\nNs 50.0\nNi 1.0\nillum 5\n"
+                "newmtl glassy\nKd 1.0 1.0 1.0\nNs 100.0\nNi 1.5\nillum 7\n"
+            )
+    with open(path, "w") as f:
+        if with_mtl:
+            f.write(f"mtllib {mtl_name}\n")
+        # pyramid (4 side faces + quad base), apex up
+        f.write("v 0 2 0\nv -1 0 -1\nv 1 0 -1\nv 1 0 1\nv -1 0 1\n")
+        if with_mtl:
+            f.write("usemtl body\n")
+        f.write("f 1 3 2\nf 1 4 3\nf 1 5 4\nf 1 2 5\nf 2 3 4 5\n")
+        # small cube to the side (quads, fan-triangulated by the loader)
+        f.write(
+            "v 1.5 0 -0.5\nv 2.5 0 -0.5\nv 2.5 1 -0.5\nv 1.5 1 -0.5\n"
+            "v 1.5 0 0.5\nv 2.5 0 0.5\nv 2.5 1 0.5\nv 1.5 1 0.5\n"
+        )
+        if with_mtl:
+            f.write("usemtl shiny\n")
+        f.write(
+            "f 6 7 8 9\nf 10 13 12 11\nf 6 9 13 10\nf 7 11 12 8\n"
+            "f 9 8 12 13\nf 6 10 11 7\n"
+        )
