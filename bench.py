@@ -1,0 +1,104 @@
+"""Headline benchmark: rays/sec/chip on CornellBox 512x512, forward+backward.
+
+BASELINE.json north star: "rays/sec/chip (CornellBox 512^2 fwd+bwd)".
+Prints exactly ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
+
+rays = ray SEGMENTS traced by the forward wavefront (the integrator
+counts every alive lane at every bounce — the same unit a CPU tracer's
+"rays cast" counter measures); time = wall clock of one jitted
+forward+backward step (loss + gradients w.r.t. texture colors / texels /
+camera / background), after compile + warmup.
+
+vs_baseline: the reference publishes NO numbers (BASELINE.md), and no
+Rust toolchain exists in this image to measure it, so the denominator
+is a documented ESTIMATE of the reference on a 16-core CPU:
+RTiOW-style tracers run ~0.3-1.0 Mray/s/core on scenes of this size;
+rayon across 16 cores => ~8 Mray/s (forward only; the reference has no
+backward at all).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_CPU_RAYS_PER_SEC_ESTIMATE = 8.0e6
+
+WIDTH = HEIGHT = 512
+SPP_CHUNK = 4          # 512*512*4 = ~1M lanes per wavefront
+MAX_BOUNCES = 20       # CornellBox setting (scene.rs:337)
+REPS = 5
+
+
+def main():
+    from rust_pathtracer_tpu.grad import CameraParams, DiffParams, apply_params
+    from rust_pathtracer_tpu.models import get_scene
+    from rust_pathtracer_tpu.render import RenderSettings, render_radiance
+
+    sd = get_scene("CornellBox")
+    scene = sd.build()
+    settings = RenderSettings(
+        width=WIDTH,
+        height=HEIGHT,
+        samples_per_pixel=SPP_CHUNK,
+        max_bounces=MAX_BOUNCES,
+        background=(0.0, 0.0, 0.0),
+        spp_chunk=SPP_CHUNK,
+        differentiable=True,
+    )
+    cam_params = CameraParams.create(
+        (278.0, 278.0, -800.0), (278.0, 278.0, 0.0), (0.0, 1.0, 0.0),
+        40.0, 1.0, 0.0, 10.0,
+    )
+    params = DiffParams.from_scene(scene, cam_params, settings.background)
+    key = jax.random.PRNGKey(0)
+
+    def loss_and_segments(params):
+        s = apply_params(scene, params)
+        img, stats = render_radiance(
+            s, params.camera.build(), settings, key, background=params.background
+        )
+        # mean-brightness objective: nonzero cotangents everywhere
+        return jnp.mean(img), stats.segments
+
+    step = jax.jit(jax.value_and_grad(loss_and_segments, has_aux=True))
+
+    # compile + warmup
+    (loss, segments), grads = step(params)
+    segs = float(segments)
+    jax.block_until_ready(grads)
+    print(
+        f"# warmup ok: loss={float(loss):.5f} segments/pass={segs:.0f} "
+        f"avg_depth={segs / (WIDTH * HEIGHT * SPP_CHUNK):.2f}",
+        file=sys.stderr,
+    )
+
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        (loss, segments), grads = step(params)
+    jax.block_until_ready(grads)
+    dt = (time.perf_counter() - t0) / REPS
+
+    rays_per_sec = segs / dt
+    print(
+        f"# fwd+bwd step: {dt * 1e3:.1f} ms for {segs:.0f} segments",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "rays/sec/chip CornellBox 512^2 fwd+bwd",
+                "value": rays_per_sec,
+                "unit": "rays/s",
+                "vs_baseline": rays_per_sec / REFERENCE_CPU_RAYS_PER_SEC_ESTIMATE,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

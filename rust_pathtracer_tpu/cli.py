@@ -1,0 +1,179 @@
+"""Command-line driver.
+
+The reference has no CLI despite declaring clap (SURVEY §5): the scene
+is a source edit at main.rs:20, frames go to ./output/image_NNNN.png.
+This driver covers that surface and the gaps: named scenes or scene
+JSON, setting overrides, animation + GIF assembly, checkpoint/resume,
+device-mesh sharding, metrics and profiling.
+
+    python -m rust_pathtracer_tpu.cli --scene CornellBox \
+        --width 256 --height 256 --spp 128 --output-dir ./output
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rust_pathtracer_tpu",
+        description="TPU-native differentiable path tracer",
+    )
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--scene", help="named scene (see --list-scenes)")
+    src.add_argument("--scene-json", help="scene JSON file")
+    src.add_argument("--list-scenes", action="store_true")
+    p.add_argument("--obj-path", default="./model.obj", help="OBJ for ModelTest")
+    p.add_argument("--output-dir", default="./output")
+    p.add_argument("--width", type=int)
+    p.add_argument("--height", type=int)
+    p.add_argument("--spp", type=int, help="samples per pixel override")
+    p.add_argument("--max-bounces", type=int)
+    p.add_argument("--spp-chunk", type=int, help="samples per device pass")
+    p.add_argument("--frames", type=int, help="animation frame count override")
+    p.add_argument("--frame-start", type=int, default=0, help="resume animation here")
+    p.add_argument("--seed", type=int, default=0, help="RNG key seed")
+    p.add_argument("--bvh", choices=["auto", "on", "off"], default="auto")
+    p.add_argument("--leaf-size", type=int, default=4)
+    p.add_argument(
+        "--russian-roulette", type=int, default=None, metavar="START_BOUNCE",
+        help="enable RR from this bounce (off by default: reference semantics)",
+    )
+    p.add_argument("--gif", action="store_true", help="assemble animation GIF")
+    p.add_argument("--checkpoint", help="accumulation checkpoint file (exact resume)")
+    p.add_argument(
+        "--mesh", default=None, metavar="TILESxSAMPLES",
+        help="shard over a device mesh, e.g. 4x2 (default: single device)",
+    )
+    p.add_argument("--profile-dir", help="write a jax.profiler trace here")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from rust_pathtracer_tpu.models import SCENES, get_scene
+
+    if args.list_scenes:
+        for name in sorted(SCENES):
+            print(name)
+        return 0
+
+    import dataclasses
+
+    import jax
+
+    from rust_pathtracer_tpu.render import render_radiance
+    from rust_pathtracer_tpu.utils.image import frame_path, to_rgb8, write_gif, write_png
+    from rust_pathtracer_tpu.utils.metrics import (
+        ProgressBar,
+        RenderMetrics,
+        StageTimer,
+        profiler_trace,
+    )
+
+    timer = StageTimer()
+    if args.scene_json:
+        from rust_pathtracer_tpu.scene.json_io import load_scene_json
+
+        sd = load_scene_json(args.scene_json)
+    else:
+        kwargs = {"obj_path": args.obj_path} if args.scene == "ModelTest" else {}
+        sd = get_scene(args.scene, **kwargs)
+
+    settings = sd.output.image
+    overrides = {}
+    if args.width:
+        overrides["width"] = args.width
+    if args.height:
+        overrides["height"] = args.height
+    if args.spp:
+        overrides["samples_per_pixel"] = args.spp
+    if args.max_bounces:
+        overrides["max_bounces"] = args.max_bounces
+    if args.spp_chunk:
+        overrides["spp_chunk"] = args.spp_chunk
+    if args.russian_roulette is not None:
+        overrides["russian_roulette_start"] = args.russian_roulette
+    if overrides:
+        settings = dataclasses.replace(settings, **overrides)
+
+    use_bvh = {"auto": "auto", "on": True, "off": False}[args.bvh]
+    with timer.stage("scene build"):
+        if args.scene_json:
+            scene = sd.build(use_bvh=use_bvh)
+        else:
+            scene = sd.build()
+
+    frames = args.frames if args.frames else sd.output.num_frames
+    key = jax.random.PRNGKey(args.seed)
+
+    mesh = None
+    if args.mesh:
+        from rust_pathtracer_tpu.parallel import make_mesh
+
+        tiles, samples = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = make_mesh(tiles=tiles, samples=samples)
+
+    metrics = RenderMetrics(
+        width=settings.width, height=settings.height,
+        spp=settings.samples_per_pixel,
+    )
+    bar = None if args.quiet else ProgressBar(frames, prefix="frames")
+    rendered = []
+
+    with profiler_trace(args.profile_dir):
+        for frame in range(args.frame_start, frames):
+            t = frame / frames  # main.rs:52: t = frame / total (not total-1)
+            cam = sd.camera_at(t)
+            t0 = time.perf_counter()
+            with timer.stage("render"):
+                if mesh is not None:
+                    from rust_pathtracer_tpu.parallel import render_radiance_sharded
+
+                    img, stats = render_radiance_sharded(
+                        scene, cam, settings, key, mesh
+                    )
+                elif args.checkpoint and frames == 1:
+                    from rust_pathtracer_tpu.utils.checkpoint import (
+                        render_radiance_checkpointed,
+                    )
+
+                    img, stats = render_radiance_checkpointed(
+                        scene, cam, settings, key, args.checkpoint
+                    )
+                else:
+                    img, stats = render_radiance(scene, cam, settings, key)
+                img.block_until_ready()
+            metrics.wall_seconds += time.perf_counter() - t0
+            metrics.segments += float(stats.segments)
+            metrics.frames += 1
+
+            rgb = to_rgb8(img)
+            with timer.stage("io"):
+                write_png(frame_path(args.output_dir, frame), rgb)
+            if args.gif:
+                rendered.append(rgb)
+            if bar:
+                bar.tick()
+
+    if bar:
+        bar.finish()
+    if args.gif and rendered:
+        gif_path = os.path.join(args.output_dir, "animation.gif")
+        write_gif(gif_path, rendered, fps=sd.output.fps or 30.0)
+        print(f"wrote {gif_path}", file=sys.stderr)
+
+    if not args.quiet:
+        metrics.report()
+        timer.report()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -10,7 +10,7 @@ The reference integrator is the recursive ``Ray::color`` (ray.rs:20-41):
 
 Recursion does not exist on a TPU vector unit; the wavefront rewrite
 carries (origin, direction, throughput, radiance, alive) for every lane
-and peels one bounce per iteration of a ``lax.while_loop``:
+and peels one bounce per loop iteration:
 
     radiance += throughput * emitted            (hit lanes)
     radiance += throughput * background         (miss lanes; lane dies)
@@ -18,13 +18,25 @@ and peels one bounce per iteration of a ``lax.while_loop``:
     lane dies when absorbed (metal grazing / light) or at max_bounces
 
 which computes exactly the same sum — the product of attenuations along
-the path times the emitted/background term where it terminates.  The
-loop exits early once every lane is dead (the reference's recursion
-depth is adaptive per ray; the wavefront's is adaptive per batch).
+the path times the emitted/background term where it terminates.
+
+Two loop modes:
+
+* ``lax.while_loop`` (default) — exits early once every lane is dead
+  (the reference's per-ray adaptive depth, per-batch here);
+* ``lax.scan`` (``differentiable=True``) — fixed max_bounces trip
+  count, reverse-mode differentiable.
+
+Differentiation uses **detached sampling**: the discrete hit *search*
+(BVH walk / argmin, both integer-valued and containing a while_loop)
+runs on stop-gradient inputs, then the chosen primitive's hit distance
+is RE-evaluated differentiably, so radiance gradients flow through hit
+geometry, shading, textures and the camera — while visibility
+discontinuities are (bias-accepted) ignored, per the standard
+reparameterized-path-tracing recipe.
 
 Optional per-bounce Russian roulette (OFF by default — the reference
-has none and it changes the estimator's variance, not its mean) boosts
-throughput on deep-bounce scenes.
+has none; it changes variance, not the mean) boosts deep-bounce scenes.
 
 t_min = 0.001 shadow-acne epsilon (ray.rs:25), in units of |direction|
 because directions are unnormalized, exactly like the reference.
@@ -36,19 +48,94 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rust_pathtracer_tpu import sampling
 from rust_pathtracer_tpu import vecmath as vm
 from rust_pathtracer_tpu.materials import emitted, scatter
-from rust_pathtracer_tpu.ops.intersect import closest_hit, hit_record
+from rust_pathtracer_tpu.ops.intersect import closest_hit, hit_record, prim_intersect_t
 
 T_MIN = 1e-3  # ray.rs:25
-T_MAX = jnp.float32(1.0e30)
+T_MAX = np.float32(1.0e30)
 
 
 class TraceStats(NamedTuple):
     segments: jnp.ndarray  # f32 scalar: total ray segments traced
     bounces: jnp.ndarray   # i32 scalar: bounce iterations executed
+
+
+def _find_hit(scene, o, d):
+    """Closest-hit with the discrete search detached from the autodiff
+    graph; the winning primitive's t is re-derived differentiably."""
+    sg = jax.lax.stop_gradient
+    hit_mask, _, idx = closest_hit(sg(scene), sg(o), sg(d), T_MIN, T_MAX)
+    t_diff, _ = prim_intersect_t(
+        scene.prims.kind[idx],
+        scene.prims.aux[idx],
+        scene.prims.data[idx],
+        o,
+        d,
+        T_MIN,
+        T_MAX,
+        prim_types=scene.prim_types,
+    )
+    # dead/miss lanes get a harmless finite t so downstream math stays
+    # NaN-free (NaNs in unselected `where` branches poison gradients)
+    t = jnp.where(hit_mask, t_diff, 1.0)
+    return hit_mask, t, idx
+
+
+def _bounce_step(scene, lane_keys, background, rr_start, state, bounce):
+    o, d, thr, rad, alive, segments = state
+    segments = segments + jnp.sum(alive.astype(jnp.float32))
+
+    hit_mask, t, idx = _find_hit(scene, o, d)
+    hit_mask = hit_mask & alive
+    rec = hit_record(
+        scene.prims, idx, o, d, t, hit_mask, prim_types=scene.prim_types
+    )
+
+    # miss -> background, weighted by throughput (ray.rs:40)
+    miss = alive & ~hit_mask
+    rad = rad + jnp.where(miss[..., None], thr * background, 0.0)
+
+    # hit -> emitted (ray.rs:26), then scatter (ray.rs:28-34)
+    em = emitted(scene, rec)
+    rad = rad + jnp.where(hit_mask[..., None], thr * em, 0.0)
+
+    sg = jax.lax.stop_gradient  # detached sampling: draws carry no grads
+    sphere_dir = sg(sampling.on_unit_sphere(
+        sampling.bounce_keys(lane_keys, bounce, sampling.P_LAMBERT)
+    ))
+    ball_dir = sg(sampling.in_unit_sphere(
+        sampling.bounce_keys(lane_keys, bounce, sampling.P_FUZZ)
+    ))
+    coin = sg(sampling.uniform(
+        sampling.bounce_keys(lane_keys, bounce, sampling.P_SCHLICK)
+    ))
+    sc = scatter(scene, rec, d, sphere_dir, ball_dir, coin)
+
+    cont = hit_mask & sc.did_scatter
+    thr = jnp.where(cont[..., None], thr * sc.attenuation, thr)
+    o = vm.where(cont, rec.point, o)
+    d = vm.where(cont, sc.direction, d)
+    alive = cont
+
+    # optional russian roulette (no reference counterpart)
+    def roulette(args):
+        thr, alive = args
+        p = jnp.clip(jnp.max(jax.lax.stop_gradient(thr), axis=-1), 0.05, 1.0)
+        u = sampling.uniform(
+            sampling.bounce_keys(lane_keys, bounce, sampling.P_ROULETTE)
+        )
+        survive = u < p
+        thr = jnp.where((alive & survive)[..., None], thr / p[..., None], thr)
+        return thr, alive & survive
+
+    thr, alive = jax.lax.cond(
+        bounce >= rr_start, roulette, lambda args: args, (thr, alive)
+    )
+    return (o, d, thr, rad, alive, segments)
 
 
 def trace(
@@ -59,6 +146,7 @@ def trace(
     background,
     max_bounces: int,
     russian_roulette_start: Optional[int] = None,
+    differentiable: bool = False,
 ):
     """Estimate radiance for a wavefront of rays.
 
@@ -66,77 +154,54 @@ def trace(
     background: (3,) miss color (scene.rs ImageSettings.background).
     Returns (radiance (R, 3), TraceStats).
     """
-    lanes = origins.shape[0]
     background = jnp.asarray(background, jnp.float32)
+    rr_start = (
+        max_bounces + 1 if russian_roulette_start is None else russian_roulette_start
+    )
 
-    rr_start = max_bounces + 1 if russian_roulette_start is None else russian_roulette_start
-
-    def cond(state):
-        bounce, _, _, _, _, alive, _ = state
-        return (bounce < max_bounces) & jnp.any(alive)
-
-    def body(state):
-        bounce, o, d, thr, rad, alive, segments = state
-        segments = segments + jnp.sum(alive.astype(jnp.float32))
-
-        hit_mask, t, idx = closest_hit(scene, o, d, T_MIN, T_MAX)
-        hit_mask = hit_mask & alive
-        rec = hit_record(
-            scene.prims, idx, o, d, t, hit_mask, prim_types=scene.prim_types
-        )
-
-        # miss -> background, weighted by throughput (ray.rs:40)
-        miss = alive & ~hit_mask
-        rad = rad + jnp.where(miss[..., None], thr * background, 0.0)
-
-        # hit -> emitted (ray.rs:26), then scatter (ray.rs:28-34)
-        em = emitted(scene, rec)
-        rad = rad + jnp.where(hit_mask[..., None], thr * em, 0.0)
-
-        sphere_dir = sampling.on_unit_sphere(
-            sampling.bounce_keys(lane_keys, bounce, sampling.P_LAMBERT)
-        )
-        ball_dir = sampling.in_unit_sphere(
-            sampling.bounce_keys(lane_keys, bounce, sampling.P_FUZZ)
-        )
-        coin = sampling.uniform(
-            sampling.bounce_keys(lane_keys, bounce, sampling.P_SCHLICK)
-        )
-        sc = scatter(scene, rec, d, sphere_dir, ball_dir, coin)
-
-        cont = hit_mask & sc.did_scatter
-        thr = jnp.where(cont[..., None], thr * sc.attenuation, thr)
-        o = vm.where(cont, rec.point, o)
-        d = vm.where(cont, sc.direction, d)
-        alive = cont
-
-        # optional russian roulette (no reference counterpart)
-        def roulette(args):
-            thr, alive = args
-            p = jnp.clip(jnp.max(thr, axis=-1), 0.05, 1.0)
-            u = sampling.uniform(
-                sampling.bounce_keys(lane_keys, bounce, sampling.P_ROULETTE)
-            )
-            survive = u < p
-            thr = jnp.where(
-                (alive & survive)[..., None], thr / p[..., None], thr
-            )
-            return thr, alive & survive
-
-        thr, alive = jax.lax.cond(
-            bounce >= rr_start, roulette, lambda args: args, (thr, alive)
-        )
-
-        return bounce + 1, o, d, thr, rad, alive, segments
-
+    # derive the carry init arithmetically from the (possibly
+    # mesh-varying) ray arrays so shard_map's varying-axis tracking
+    # sees matching carry types on both sides of the loop
+    zeros3 = origins * 0.0
     init = (
-        jnp.int32(0),
         origins,
         directions,
-        jnp.ones((lanes, 3), jnp.float32),
-        jnp.zeros((lanes, 3), jnp.float32),
-        jnp.ones((lanes,), bool),
-        jnp.float32(0.0),
+        zeros3 + 1.0,                       # throughput
+        zeros3,                             # radiance
+        zeros3[..., 0] == 0.0,              # alive (origins are finite)
+        jnp.sum(zeros3[..., 0]),            # segment counter
     )
-    bounce, _, _, _, rad, _, segments = jax.lax.while_loop(cond, body, init)
-    return rad, TraceStats(segments=segments, bounces=bounce)
+
+    if differentiable:
+        # remat each bounce: the backward sweep recomputes the bounce
+        # forward instead of saving every intermediate of every bounce
+        # (HBM-bound otherwise: ~20 bounces x O(100B)/lane of residuals)
+        step = jax.checkpoint(
+            lambda state, bounce: _bounce_step(
+                scene, lane_keys, background, rr_start, state, bounce
+            )
+        )
+
+        def scan_body(state, bounce):
+            return step(state, bounce), None
+
+        state, _ = jax.lax.scan(
+            scan_body, init, jnp.arange(max_bounces, dtype=jnp.int32)
+        )
+        bounces_done = jnp.int32(max_bounces)
+    else:
+        def cond(carry):
+            bounce, state = carry
+            return (bounce < max_bounces) & jnp.any(state[4])
+
+        def body(carry):
+            bounce, state = carry
+            return (
+                bounce + 1,
+                _bounce_step(scene, lane_keys, background, rr_start, state, bounce),
+            )
+
+        bounces_done, state = jax.lax.while_loop(cond, body, (jnp.int32(0), init))
+
+    _, _, _, rad, _, segments = state
+    return rad, TraceStats(segments=segments, bounces=bounces_done)

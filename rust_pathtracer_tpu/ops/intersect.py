@@ -32,7 +32,7 @@ from rust_pathtracer_tpu.scene.types import (
 )
 
 # Sentinel "no hit" distance. Large but finite so arithmetic stays NaN-free.
-T_MISS = jnp.float32(3.0e38)
+T_MISS = np.float32(3.0e38)
 
 TRI_DET_EPS = 1e-4  # one-sided cull threshold (geometry.rs:526)
 
@@ -56,9 +56,14 @@ class HitRecord(NamedTuple):
 
 
 def _axis_onehot(axis_idx, table=None):
-    """(...,) int axis index -> (..., 3) one-hot float mask."""
-    idx = axis_idx if table is None else jnp.asarray(table)[axis_idx]
-    return (idx[..., None] == jnp.arange(3, dtype=jnp.int32)).astype(jnp.float32)
+    """(...,) int axis index -> (..., 3) one-hot float mask.
+
+    Tables stay numpy: np constants lower straight from host memory,
+    while eager jnp constants would live on device and need a
+    device->host fetch at lowering (slow over the axon TPU tunnel).
+    """
+    idx = axis_idx if table is None else jnp.take(table, axis_idx)
+    return (idx[..., None] == np.arange(3, dtype=np.int32)).astype(jnp.float32)
 
 
 def _pick(vec, axis_idx, table=None):
@@ -75,7 +80,7 @@ def sphere_t(data, o, d, t_min, t_max):
     half_b = vm.dot(d, oc)
     c = vm.length_squared(oc) - radius * radius
     dis = half_b * half_b - a * c
-    sqrtd = jnp.sqrt(jnp.maximum(dis, 0.0))
+    sqrtd = vm.safe_sqrt(dis)  # zero-grad at dis<=0 (miss lanes)
     root1 = (-half_b - sqrtd) / a
     root2 = (-half_b + sqrtd) / a
     ok1 = (root1 >= t_min) & (root1 <= t_max)
@@ -91,7 +96,10 @@ def rect_t(data, aux, o, d, t_min, t_max):
     a0, b0, a1, b1 = data[..., 1], data[..., 2], data[..., 3], data[..., 4]
     o_fix = _pick(o, aux)
     d_fix = _pick(d, aux)
-    t = (k - o_fix) / d_fix  # d_fix == 0 -> inf/NaN -> fails range checks
+    # parallel rays (d_fix ~ 0) must miss without producing inf/NaN that
+    # would poison gradients through the masked-out branch
+    parallel = jnp.abs(d_fix) < 1e-30
+    t = jnp.where(parallel, T_MISS, (k - o_fix) / jnp.where(parallel, 1.0, d_fix))
     a_val = _pick(o, aux, _RECT_A) + t * _pick(d, aux, _RECT_A)
     b_val = _pick(o, aux, _RECT_B) + t * _pick(d, aux, _RECT_B)
     valid = (
@@ -212,12 +220,20 @@ def hit_record(
     u = jnp.zeros_like(t)
     v = jnp.zeros_like(t)
 
+    # NOTE: every branch below runs on EVERY lane (masked select), so a
+    # rect row flows through the sphere formulas etc.  All denominators
+    # are guarded: garbage values are discarded by the `where`, but an
+    # inf/NaN forward value would still poison reverse-mode AD.
+    def _safe_div(num, den):
+        den = jnp.where(jnp.abs(den) < 1e-30, 1.0, den)
+        return num / den
+
     if PRIM_SPHERE in types:
         center = data[..., 0:3]
         radius = data[..., 3]
-        n_s = (point - center) / radius[..., None]  # sign(r) flips normals
-        theta = jnp.arccos(jnp.clip(-n_s[..., 1], -1.0, 1.0))
-        phi = jnp.arctan2(-n_s[..., 2], n_s[..., 0]) + jnp.pi
+        n_s = _safe_div(point - center, radius[..., None])  # sign(r) flips normals
+        theta = vm.safe_acos(-n_s[..., 1])
+        phi = vm.safe_atan2(-n_s[..., 2], n_s[..., 0]) + jnp.pi
         u_s = phi / (2.0 * jnp.pi)
         v_s = theta / jnp.pi
         sel = kind == PRIM_SPHERE
@@ -231,8 +247,8 @@ def hit_record(
         n_r = _axis_onehot(aux) * direction[..., None]
         a_val = _pick(point, aux, _RECT_A)
         b_val = _pick(point, aux, _RECT_B)
-        u_r = (a_val - a0) / (a1 - a0)
-        v_r = (b_val - b0) / (b1 - b0)
+        u_r = _safe_div(a_val - a0, a1 - a0)
+        v_r = _safe_div(b_val - b0, b1 - b0)
         sel = kind == PRIM_RECT
         outward = vm.where(sel, n_r, outward)
         u = jnp.where(sel, u_r, u)

@@ -43,6 +43,8 @@ class RenderSettings:
     spp_chunk: Optional[int] = None
     # optional russian roulette start bounce (None = off, reference behavior)
     russian_roulette_start: Optional[int] = None
+    # use the reverse-differentiable scan loop (fixed trip count)
+    differentiable: bool = False
 
     def resolve_chunk(self, target_lanes: int = 1 << 21) -> int:
         if self.spp_chunk is not None:
@@ -70,14 +72,11 @@ class OutputSettings:
         return int(self.fps * self.duration) if self.is_animation else 1
 
 
-@partial(
-    jax.jit,
-    static_argnames=("width", "height", "spp_chunk", "spp_total", "max_bounces", "rr_start"),
-)
-def _render_chunk(
+def trace_pixel_lanes(
     scene,
     cam: Camera,
     base_key,
+    pix,
     sample_offset,
     background,
     *,
@@ -87,18 +86,26 @@ def _render_chunk(
     spp_total: int,
     max_bounces: int,
     rr_start: Optional[int],
+    differentiable: bool = False,
 ):
-    """Trace width*height*spp_chunk lanes; returns (sum_radiance (H*W,3), stats)."""
-    npix = width * height
-    pix = jnp.arange(npix, dtype=jnp.uint32)
+    """Trace len(pix)*spp_chunk lanes for the given pixel ids.
+
+    Shared by the single-chip chunk loop and the shard_map tile path
+    (parallel/shard.py) — pixel ids are data, so a device can own any
+    tile of the image.  Returns (sum_radiance (len(pix), 3), stats).
+    """
+    npix = pix.shape[0]
     col = (pix % width).astype(jnp.float32)
     row = pix // width
     y = (height - 1 - row).astype(jnp.float32)  # renderer.rs:16: reversed rows
 
-    s_local = jnp.arange(spp_chunk, dtype=jnp.uint32)
-    # lane counter = pixel * spp_total + sample  -> layout-invariant RNG
+    # np (host) constants: avoid eager device arrays during tracing
+    s_local = np.arange(spp_chunk, dtype=np.uint32)
+    # lane counter = pixel * spp_total + sample  -> layout-invariant RNG:
+    # the same (pixel, sample) draws the same numbers no matter how the
+    # work is chunked or sharded
     counters = (
-        pix[:, None] * jnp.uint32(spp_total) + (sample_offset + s_local)[None, :]
+        pix[:, None] * np.uint32(spp_total) + (sample_offset + s_local)[None, :]
     ).reshape(-1)
     lkeys = sampling.lane_keys(base_key, counters)
 
@@ -121,6 +128,7 @@ def _render_chunk(
         background,
         max_bounces=max_bounces,
         russian_roulette_start=rr_start,
+        differentiable=differentiable,
     )
 
     # mask samples beyond spp_total (padded final chunk)
@@ -128,6 +136,47 @@ def _render_chunk(
     w_mask = (sample_ids < spp_total).astype(jnp.float32).reshape(1, -1)
     rad = rad.reshape(npix, spp_chunk, 3) * w_mask[..., None]
     return rad.sum(axis=1), stats
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "spp_chunk", "spp_total", "max_bounces", "rr_start",
+        "differentiable",
+    ),
+)
+def _render_chunk(
+    scene,
+    cam: Camera,
+    base_key,
+    sample_offset,
+    background,
+    *,
+    width: int,
+    height: int,
+    spp_chunk: int,
+    spp_total: int,
+    max_bounces: int,
+    rr_start: Optional[int],
+    differentiable: bool,
+):
+    """Trace width*height*spp_chunk lanes; returns (sum_radiance (H*W,3), stats)."""
+    pix = np.arange(width * height, dtype=np.uint32)
+    return trace_pixel_lanes(
+        scene,
+        cam,
+        base_key,
+        pix,
+        sample_offset,
+        background,
+        width=width,
+        height=height,
+        spp_chunk=spp_chunk,
+        spp_total=spp_total,
+        max_bounces=max_bounces,
+        rr_start=rr_start,
+        differentiable=differentiable,
+    )
 
 
 def render_radiance(
@@ -163,6 +212,7 @@ def render_radiance(
             spp_total=spp,
             max_bounces=settings.max_bounces,
             rr_start=settings.russian_roulette_start,
+            differentiable=settings.differentiable,
         )
         acc = acc + part
         total_segments = total_segments + stats.segments

@@ -1,0 +1,137 @@
+"""Render checkpoint / exact resume.
+
+The reference has NO intra-frame recovery: a crash loses the whole
+frame (SURVEY §5 — failure handling is panic!/expect).  Here the
+accumulation state (radiance sums + samples completed + base RNG key)
+checkpoints to disk between sample chunks, and resume is EXACT: the
+counter-based RNG replays the remaining (pixel, sample) lanes
+identically, so a resumed render is bitwise identical to an
+uninterrupted one.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+
+class RenderCheckpoint(NamedTuple):
+    acc: np.ndarray          # (H*W, 3) radiance sums over completed samples
+    samples_done: int
+    width: int
+    height: int
+    spp_total: int
+    key_data: np.ndarray     # PRNGKey raw data
+    segments: float
+
+
+def save_checkpoint(path: str, ckpt: RenderCheckpoint) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    # atomic write: render crash mid-save must not corrupt the file
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(os.path.abspath(path)))
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(
+                f,
+                acc=ckpt.acc,
+                samples_done=ckpt.samples_done,
+                width=ckpt.width,
+                height=ckpt.height,
+                spp_total=ckpt.spp_total,
+                key_data=ckpt.key_data,
+                segments=ckpt.segments,
+            )
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def load_checkpoint(path: str) -> Optional[RenderCheckpoint]:
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        return RenderCheckpoint(
+            acc=z["acc"],
+            samples_done=int(z["samples_done"]),
+            width=int(z["width"]),
+            height=int(z["height"]),
+            spp_total=int(z["spp_total"]),
+            key_data=z["key_data"],
+            segments=float(z["segments"]),
+        )
+
+
+def render_radiance_checkpointed(
+    scene,
+    cam,
+    settings,
+    key,
+    checkpoint_path: str,
+    checkpoint_every: int = 1,
+):
+    """Chunked render that persists progress; resumes from
+    ``checkpoint_path`` if it exists and matches the job shape."""
+    import jax.numpy as jnp
+
+    from rust_pathtracer_tpu.integrator import TraceStats
+    from rust_pathtracer_tpu.render import _render_chunk
+
+    spp = settings.samples_per_pixel
+    chunk = settings.resolve_chunk()
+    bg = jnp.asarray(settings.background, jnp.float32)
+    key_data = np.asarray(key)
+
+    start = 0
+    acc = jnp.zeros((settings.width * settings.height, 3), jnp.float32)
+    segments = 0.0
+    ckpt = load_checkpoint(checkpoint_path)
+    if ckpt is not None:
+        matches = (
+            ckpt.width == settings.width
+            and ckpt.height == settings.height
+            and ckpt.spp_total == spp
+            and np.array_equal(ckpt.key_data, key_data)
+        )
+        if matches:
+            start = ckpt.samples_done
+            acc = jnp.asarray(ckpt.acc)
+            segments = ckpt.segments
+
+    chunk_index = 0
+    for s0 in range(start, spp, chunk):
+        part, stats = _render_chunk(
+            scene, cam, key, jnp.uint32(s0), bg,
+            width=settings.width,
+            height=settings.height,
+            spp_chunk=chunk,
+            spp_total=spp,
+            max_bounces=settings.max_bounces,
+            rr_start=settings.russian_roulette_start,
+            differentiable=settings.differentiable,
+        )
+        acc = acc + part
+        segments += float(stats.segments)
+        chunk_index += 1
+        if chunk_index % checkpoint_every == 0:
+            save_checkpoint(
+                checkpoint_path,
+                RenderCheckpoint(
+                    acc=np.asarray(acc),
+                    samples_done=min(s0 + chunk, spp),
+                    width=settings.width,
+                    height=settings.height,
+                    spp_total=spp,
+                    key_data=key_data,
+                    segments=segments,
+                ),
+            )
+
+    img = (acc / jnp.float32(spp)).reshape(settings.height, settings.width, 3)
+    return img, TraceStats(
+        segments=jnp.float32(segments), bounces=jnp.int32(0)
+    )

@@ -74,11 +74,44 @@ def refract(v, n, etai_over_etat):
     cos_theta = jnp.minimum(dot(-v, n), 1.0)
     eta = jnp.asarray(etai_over_etat)[..., None]
     out_perp = eta * (v + cos_theta[..., None] * n)
-    # reference takes abs() before sqrt (vec3.rs:121-125) — already safe.
-    out_parallel = -jnp.sqrt(jnp.abs(1.0 - length_squared(out_perp)))[..., None] * n
+    # reference takes abs() before sqrt (vec3.rs:121-125); safe_sqrt also
+    # keeps the gradient finite at the total-internal-reflection edge.
+    out_parallel = -safe_sqrt(jnp.abs(1.0 - length_squared(out_perp)))[..., None] * n
     return out_perp + out_parallel
 
 
 def where(mask, a, b):
     """Select (...,3) vectors by (...) mask."""
     return jnp.where(mask[..., None], a, b)
+
+
+# --- gradient-safe transcendentals ------------------------------------
+# acos'(x) and atan2 are unbounded/undefined at the sphere-UV poles;
+# masked-out lanes would still poison reverse-mode AD with 0 * inf = NaN
+# (the classic `where` trap).  These route pole lanes through constants:
+# forward values stay exact, pole gradients become 0 (the detached-
+# sampling convention for unbounded geometric derivatives).
+
+_POLE_EPS = 1e-6
+
+
+def safe_acos(x):
+    xc = jnp.clip(x, -1.0, 1.0)
+    is_pole = jnp.abs(xc) >= 1.0 - _POLE_EPS
+    xs = jnp.where(is_pole, 0.0, xc)
+    pole_val = jnp.where(xc > 0.0, 0.0, jnp.pi)
+    return jnp.where(is_pole, pole_val, jnp.arccos(xs))
+
+
+def safe_atan2(y, x):
+    degenerate = (jnp.abs(x) < 1e-12) & (jnp.abs(y) < 1e-12)
+    xs = jnp.where(degenerate, 1.0, x)
+    ys = jnp.where(degenerate, 0.0, y)
+    return jnp.where(degenerate, 0.0, jnp.arctan2(ys, xs))
+
+
+def safe_sqrt(x):
+    """sqrt with zero gradient at 0 instead of inf."""
+    is_zero = x <= 0.0
+    xs = jnp.where(is_zero, 1.0, x)
+    return jnp.where(is_zero, 0.0, jnp.sqrt(xs))

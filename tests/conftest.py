@@ -1,31 +1,23 @@
 """Test harness bootstrap.
 
-The test suite runs on a virtual 8-device CPU mesh (SURVEY.md §4:
+The suite runs on a virtual 8-device CPU mesh (SURVEY.md §4:
 ``--xla_force_host_platform_device_count=8``) so sharding tests run
-anywhere without a TPU slice.  In the axon TPU environment a
-sitecustomize hook force-registers the TPU backend before conftest
-loads, so merely setting env vars here is too late — instead we
-re-exec pytest once with a cleaned environment (no sitecustomize,
-JAX_PLATFORMS=cpu).  Benchmarks (bench.py) keep the real TPU backend.
+anywhere without a TPU slice.  The axon environment's sitecustomize
+imports jax and pins JAX_PLATFORMS=axon before pytest starts, but the
+XLA *backends* are created lazily — switching the platform via
+jax.config here (before any jax op runs) still works.  (A re-exec
+would lose stdout: pytest's capture has already redirected fd 1.)
 """
 
 import os
-import sys
 
-if os.environ.get("RPT_TESTS_REEXEC") != "1":
-    env = dict(os.environ)
-    env["PYTHONPATH"] = ""  # drop sitecustomize that pins the TPU backend
-    env["JAX_PLATFORMS"] = "cpu"
-    flags = env.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-    env["RPT_TESTS_REEXEC"] = "1"
-    os.execve(
-        sys.executable,
-        [sys.executable, "-m", "pytest"] + sys.argv[1:],
-        env,
-    )
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+
 assert jax.default_backend() == "cpu", "tests must run on the CPU mesh"
+assert len(jax.devices()) == 8, "tests expect the virtual 8-device CPU mesh"

@@ -1,0 +1,225 @@
+"""Gradient correctness: finite-difference checks (SURVEY §4c).
+
+The renders are deterministic given a key, so central finite
+differences on the same key measure exactly the derivative the
+detached-sampling estimator defines (discrete decisions frozen).
+"""
+
+import dataclasses
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rust_pathtracer_tpu.grad import (
+    CameraParams,
+    DiffParams,
+    l2_loss,
+    render_loss_and_grad,
+    render_radiance_diff,
+)
+from rust_pathtracer_tpu.render import RenderSettings
+from rust_pathtracer_tpu.scene.builder import SceneBuilder
+
+KEY = jax.random.PRNGKey(0)
+
+
+def _scene_simple():
+    """Lambertian sphere + image-textured ground + rect light.
+
+    The smooth (bilinear) ground texture matters for the CAMERA
+    gradient tests: with solid colors only, radiance depends on camera
+    parameters purely through *discrete* path structure, which the
+    detached-sampling estimator freezes — its camera gradient is then
+    legitimately zero.  A spatially continuous texture provides the
+    reparameterized dependence hit-point -> texel -> radiance.
+    """
+    b = SceneBuilder()
+    b.add_sphere((0.0, 0.5, -3.0), 0.5, b.lambertian((0.4, 0.5, 0.6)))  # tex 0
+    ramp = np.linspace(0.1, 0.9, 8 * 8 * 3).reshape(8, 8, 3).astype(np.float32)
+    ground_tex = b.image_texture(ramp)  # tex 1
+    b.add_sphere((0.0, -100.0, -3.0), 100.0, b.lambertian(ground_tex))
+    b.add_rect("xz", (-2.0, 4.0, -5.0), (2.0, 4.0, -1.0), -1.0, b.diffuse_light((5.0, 5.0, 5.0)))  # tex 2
+    return b.build(use_bvh=False)
+
+
+def _setup(width=12, height=12, spp=8, bounces=4):
+    scene = _scene_simple()
+    cam = CameraParams.create(
+        (0.0, 1.0, 2.0), (0.0, 0.5, -3.0), (0.0, 1.0, 0.0), 50.0, 1.0
+    )
+    settings = RenderSettings(width, height, spp, bounces, (0.1, 0.1, 0.1))
+    params = DiffParams.from_scene(scene, cam, settings.background)
+    target = jnp.zeros((height, width, 3))
+    return params, scene, settings, target
+
+
+def _fd_check(params, scene, settings, target, get, replace, eps, rtol, atol=1e-7):
+    """Central finite difference vs autodiff for one scalar slot."""
+    loss, grads = render_loss_and_grad(params, scene, settings, KEY, target)
+    g_auto = float(get(grads))
+
+    def loss_at(x):
+        return float(l2_loss(replace(params, x), scene, settings, KEY, target))
+
+    x0 = float(get(params))
+    g_fd = (loss_at(x0 + eps) - loss_at(x0 - eps)) / (2 * eps)
+    assert np.isclose(g_auto, g_fd, rtol=rtol, atol=atol), (g_auto, g_fd)
+    return g_auto
+
+
+def _set_tex_color(params, idx, ch, val):
+    return params._replace(tex_color=params.tex_color.at[idx, ch].set(val))
+
+
+def test_albedo_gradient_fd():
+    params, scene, settings, target = _setup()
+    # texture 0 = sphere albedo, green channel
+    g = _fd_check(
+        params, scene, settings, target,
+        get=lambda p: p.tex_color[0, 1],
+        replace=lambda p, x: _set_tex_color(p, 0, 1, x),
+        eps=1e-2, rtol=2e-2,
+    )
+    assert g != 0.0
+
+
+def test_emission_gradient_fd():
+    params, scene, settings, target = _setup()
+    # texture 2 = light emission, red channel
+    g = _fd_check(
+        params, scene, settings, target,
+        get=lambda p: p.tex_color[2, 0],
+        replace=lambda p, x: _set_tex_color(p, 2, 0, x),
+        eps=1e-2, rtol=2e-2,
+    )
+    assert g != 0.0
+
+
+def test_background_gradient_fd():
+    params, scene, settings, target = _setup()
+    g = _fd_check(
+        params, scene, settings, target,
+        get=lambda p: p.background[2],
+        replace=lambda p, x: p._replace(background=p.background.at[2].set(x)),
+        eps=1e-2, rtol=2e-2,
+    )
+    assert g != 0.0
+
+
+def _setup_camera_fd(width=10, height=10, spp=4):
+    """Flip-free scene for CAMERA finite differences: one huge textured
+    plane fills the whole view, scattered rays always escape to the
+    background, so small camera perturbations change no discrete
+    decision — FD then measures exactly the detached-sampling gradient
+    (visibility discontinuities are out of scope by design)."""
+    b = SceneBuilder()
+    ramp = np.linspace(0.05, 0.95, 16 * 16 * 3).reshape(16, 16, 3).astype(np.float32)
+    b.add_rect("xy", (-200.0, -200.0, -5.0), (200.0, 200.0, -5.0), 1.0,
+               b.lambertian(b.image_texture(ramp)))
+    scene = b.build(use_bvh=False)
+    cam = CameraParams.create((0.0, 0.0, 0.0), (0.0, 0.0, -5.0), (0.0, 1.0, 0.0), 50.0, 1.0)
+    settings = RenderSettings(width, height, spp, 2, (0.3, 0.3, 0.3))
+    params = DiffParams.from_scene(scene, cam, settings.background)
+    target = jnp.zeros((height, width, 3))
+    return params, scene, settings, target
+
+
+def test_camera_fov_gradient_fd():
+    params, scene, settings, target = _setup_camera_fd()
+    g = _fd_check(
+        params, scene, settings, target,
+        get=lambda p: p.camera.vfov_deg,
+        replace=lambda p, x: p._replace(camera=p.camera._replace(vfov_deg=jnp.float32(x))),
+        eps=1.0, rtol=7e-2, atol=1e-8,
+    )
+    assert g != 0.0
+
+
+def test_camera_lookfrom_gradient_fd():
+    params, scene, settings, target = _setup_camera_fd()
+    g = _fd_check(
+        params, scene, settings, target,
+        get=lambda p: p.camera.lookfrom[1],
+        replace=lambda p, x: p._replace(
+            camera=p.camera._replace(lookfrom=p.camera.lookfrom.at[1].set(x))
+        ),
+        eps=0.05, rtol=7e-2, atol=1e-8,
+    )
+    assert g != 0.0
+
+
+def test_texel_gradient_fd():
+    # image-textured sphere: gradients reach individual texels
+    b = SceneBuilder()
+    img = jnp.full((4, 4, 3), 0.5)
+    tex = b.image_texture(np.asarray(img))
+    b.add_sphere((0.0, 0.0, -3.0), 1.0, b.lambertian(tex))
+    scene = b.build(use_bvh=False)
+    cam = CameraParams.create((0, 0, 0), (0, 0, -3), (0, 1, 0), 60.0, 1.0)
+    settings = RenderSettings(8, 8, 8, 3, (1.0, 1.0, 1.0))
+    params = DiffParams.from_scene(scene, cam, settings.background)
+    target = jnp.zeros((8, 8, 3))
+
+    loss, grads = render_loss_and_grad(params, scene, settings, KEY, target)
+    g_img = np.asarray(grads.tex_images)
+    assert np.abs(g_img).sum() > 0.0
+    # FD on one texel that received gradient
+    iy, ix, ch = np.unravel_index(np.abs(g_img[0]).argmax(), g_img[0].shape)
+    eps = 1e-2
+
+    def loss_at(x):
+        p = params._replace(tex_images=params.tex_images.at[0, iy, ix, ch].set(x))
+        return float(l2_loss(p, scene, settings, KEY, target))
+
+    x0 = float(params.tex_images[0, iy, ix, ch])
+    g_fd = (loss_at(x0 + eps) - loss_at(x0 - eps)) / (2 * eps)
+    assert np.isclose(float(g_img[0, iy, ix, ch]), g_fd, rtol=3e-2, atol=1e-7)
+
+
+def test_grads_finite_on_full_material_zoo():
+    # metal + dielectric + lights + bvh: gradients exist and are finite
+    b = SceneBuilder()
+    b.add_sphere((0, -100.5, -3), 100.0, b.lambertian((0.5, 0.5, 0.5)))
+    b.add_sphere((-1, 0, -3), 0.5, b.metal((0.8, 0.7, 0.6), 0.2))
+    b.add_sphere((1, 0, -3), 0.5, b.dielectric(1.5))
+    b.add_sphere((0, 0, -3), 0.5, b.lambertian((0.2, 0.4, 0.8)))
+    b.add_rect("xz", (-2, 3, -5), (2, 3, -1), -1.0, b.diffuse_light((4, 4, 4)))
+    scene = b.build(use_bvh=True, leaf_size=2)
+    cam = CameraParams.create((0, 0.5, 1), (0, 0, -3), (0, 1, 0), 60.0, 1.0)
+    settings = RenderSettings(8, 8, 4, 6, (0.2, 0.2, 0.2))
+    params = DiffParams.from_scene(scene, cam, settings.background)
+    loss, grads = render_loss_and_grad(
+        params, scene, settings, KEY, jnp.zeros((8, 8, 3))
+    )
+    flat, _ = jax.flatten_util.ravel_pytree(grads)
+    assert np.isfinite(np.asarray(flat)).all()
+    assert float(jnp.abs(grads.tex_color).sum()) > 0
+
+
+def test_gradient_descent_recovers_albedo():
+    """End-to-end inverse rendering: recover a sphere's albedo."""
+    b = SceneBuilder()
+    b.add_sphere((0.0, 0.0, -3.0), 1.0, b.lambertian((0.8, 0.3, 0.5)))
+    scene = b.build(use_bvh=False)
+    cam = CameraParams.create((0, 0, 0), (0, 0, -3), (0, 1, 0), 60.0, 1.0)
+    settings = RenderSettings(12, 12, 8, 3, (1.0, 1.0, 1.0))
+    params_true = DiffParams.from_scene(scene, cam, settings.background)
+    target = render_radiance_diff(params_true, scene, settings, KEY)
+
+    params = params_true._replace(
+        tex_color=params_true.tex_color.at[0].set(jnp.asarray([0.5, 0.5, 0.5]))
+    )
+    grad_fn = jax.jit(
+        lambda p: jax.value_and_grad(l2_loss)(p, scene, settings, KEY, target)
+    )
+    for i in range(150):
+        loss, grads = grad_fn(params)
+        # projected gradient step (albedo stays physical in [0, 1])
+        params = params._replace(
+            tex_color=jnp.clip(params.tex_color - 20.0 * grads.tex_color, 0.0, 1.0)
+        )
+    got = np.asarray(params.tex_color[0])
+    assert np.allclose(got, [0.8, 0.3, 0.5], atol=0.03), got

@@ -1,0 +1,93 @@
+import os
+
+import numpy as np
+import pytest
+
+from rust_pathtracer_tpu.scene.builder import SceneBuilder
+from rust_pathtracer_tpu.scene.obj_loader import load_obj_into, parse_mtl, write_test_obj
+from rust_pathtracer_tpu.scene.types import (
+    MAT_DIELECTRIC,
+    MAT_LAMBERTIAN,
+    MAT_METAL,
+    PRIM_TRIANGLE,
+)
+
+
+@pytest.fixture()
+def obj_path(tmp_path):
+    p = os.path.join(tmp_path, "model.obj")
+    write_test_obj(p)
+    return p
+
+
+def test_load_counts_and_types(obj_path):
+    b = SceneBuilder()
+    n = load_obj_into(b, obj_path)
+    # pyramid: 4 tris + quad base (2) = 6; cube: 6 quads = 12
+    assert n == 18
+    scene = b.build(use_bvh=False)
+    assert int((np.asarray(scene.prims.kind) == PRIM_TRIANGLE).sum()) == 18
+
+
+def test_mtl_material_mapping(obj_path):
+    # illum 2 -> lambertian, illum 5 -> metal fuzz=1/Ns, illum 7 -> dielectric Ni
+    b = SceneBuilder()
+    load_obj_into(b, obj_path)
+    scene = b.build(use_bvh=False)
+    kinds = np.asarray(scene.materials.kind)
+    fuzz = np.asarray(scene.materials.fuzz)
+    ir = np.asarray(scene.materials.ir)
+    assert MAT_LAMBERTIAN in kinds and MAT_METAL in kinds and MAT_DIELECTRIC in kinds
+    mi = int(np.flatnonzero(kinds == MAT_METAL)[0])
+    assert np.isclose(fuzz[mi], 1.0 / 50.0)  # obj_model.rs:40
+    di = int(np.flatnonzero(kinds == MAT_DIELECTRIC)[0])
+    assert np.isclose(ir[di], 1.5)  # obj_model.rs:33
+
+
+def test_missing_material_default(tmp_path):
+    p = os.path.join(tmp_path, "plain.obj")
+    with open(p, "w") as f:
+        f.write("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    b = SceneBuilder()
+    load_obj_into(b, p)
+    scene = b.build(use_bvh=False)
+    # lambertian (0.2, 0.7, 0.2) (obj_model.rs:82-84)
+    mid = int(np.asarray(scene.prims.mat)[0])
+    tid = int(np.asarray(scene.materials.tex)[mid])
+    assert np.allclose(np.asarray(scene.textures.color)[tid], [0.2, 0.7, 0.2])
+
+
+def test_vertex_normals_used(tmp_path):
+    p = os.path.join(tmp_path, "n.obj")
+    with open(p, "w") as f:
+        f.write(
+            "v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+            "vn 0 0.70710678 0.70710678\n"
+            "f 1//1 2//1 3//1\n"
+        )
+    b = SceneBuilder()
+    load_obj_into(b, p)
+    scene = b.build(use_bvh=False)
+    n = np.asarray(scene.prims.data)[0, 9:12]
+    # first vertex's OBJ normal, not the geometric (0,0,1) (obj_model.rs:87-96)
+    assert np.allclose(n, [0.0, 0.70710678, 0.70710678], atol=1e-6)
+
+
+def test_negative_indices_and_fan(tmp_path):
+    p = os.path.join(tmp_path, "neg.obj")
+    with open(p, "w") as f:
+        f.write("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf -4 -3 -2 -1\n")
+    b = SceneBuilder()
+    n = load_obj_into(b, p)
+    assert n == 2  # quad fan-triangulated
+
+
+def test_parse_mtl(tmp_path):
+    p = os.path.join(tmp_path, "m.mtl")
+    with open(p, "w") as f:
+        f.write("newmtl a\nKd 0.1 0.2 0.3\nNs 25\nNi 1.33\nillum 5\n")
+    m = parse_mtl(p)
+    assert m["a"]["kd"] == (0.1, 0.2, 0.3)
+    assert m["a"]["ns"] == 25.0
+    assert m["a"]["ni"] == 1.33
+    assert m["a"]["illum"] == 5

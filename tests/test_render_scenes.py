@@ -1,0 +1,97 @@
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from rust_pathtracer_tpu.models import SCENES, get_scene
+from rust_pathtracer_tpu.render import RenderSettings, render_radiance
+from rust_pathtracer_tpu.scene.obj_loader import write_test_obj
+from rust_pathtracer_tpu.utils.image import quantize_u8, to_rgb8
+
+
+@pytest.fixture(scope="module")
+def obj_path(tmp_path_factory):
+    p = os.path.join(tmp_path_factory.mktemp("obj"), "model.obj")
+    write_test_obj(p)
+    return p
+
+
+def _tiny(bg):
+    return RenderSettings(
+        width=32, height=32, samples_per_pixel=4, max_bounces=6, background=bg
+    )
+
+
+@pytest.mark.parametrize("name", sorted(SCENES))
+def test_scene_smoke(name, obj_path):
+    kwargs = {"obj_path": obj_path} if name == "ModelTest" else {}
+    sd = get_scene(name, **kwargs)
+    scene = sd.build()
+    img, stats = render_radiance(
+        scene, sd.camera_at(0.0), _tiny(sd.output.image.background), jax.random.PRNGKey(0)
+    )
+    img = np.asarray(img)
+    assert img.shape == (32, 32, 3)
+    assert np.isfinite(img).all()
+    assert img.min() >= 0.0
+    assert img.mean() > 0.01  # not black
+    assert float(stats.segments) > 0
+
+
+def test_scene_settings_match_reference():
+    # scene.rs settings table (SURVEY §6)
+    expect = {
+        "SphereField": (854, 480, 250, 20, (1.0, 1.0, 1.0)),
+        "TwoSphereCheckers": (854, 480, 250, 20, (1.0, 1.0, 1.0)),
+        "LightTest": (854, 480, 2000, 50, (0.0, 0.0, 0.0)),
+        "CornellBox": (400, 400, 1000, 20, (0.0, 0.0, 0.0)),
+        "TriangleTest": (400, 400, 1000, 20, (0.0, 0.0, 0.0)),
+        "ModelTest": (800, 800, 250, 20, (1.0, 1.0, 1.0)),
+    }
+    for name, (w, h, spp, mb, bg) in expect.items():
+        s = get_scene(name).output.image
+        assert (s.width, s.height, s.samples_per_pixel, s.max_bounces) == (w, h, spp, mb)
+        assert s.background == bg
+
+
+def test_sphere_field_animation_settings():
+    out = get_scene("SphereField").output
+    assert out.is_animation
+    assert out.num_frames == 300  # 30 fps * 10 s (scene.rs:56-57)
+
+
+def test_determinism_bitwise():
+    sd = get_scene("CornellBox")
+    scene = sd.build()
+    s = _tiny((0.0, 0.0, 0.0))
+    a, _ = render_radiance(scene, sd.camera_at(0.0), s, jax.random.PRNGKey(9))
+    b, _ = render_radiance(scene, sd.camera_at(0.0), s, jax.random.PRNGKey(9))
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_spp_chunking_invariance():
+    # same image regardless of how spp is chunked (counter-based RNG)
+    sd = get_scene("TwoSphereCheckers")
+    scene = sd.build()
+    base = dict(width=16, height=16, samples_per_pixel=8, max_bounces=4,
+                background=(1.0, 1.0, 1.0))
+    a, _ = render_radiance(
+        scene, sd.camera_at(0.0), RenderSettings(**base, spp_chunk=8), jax.random.PRNGKey(1)
+    )
+    b, _ = render_radiance(
+        scene, sd.camera_at(0.0), RenderSettings(**base, spp_chunk=3), jax.random.PRNGKey(1)
+    )
+    assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_quantization_saturating_cast():
+    # vec3.rs:279-287 via Rust saturating cast: >1 -> 255, <0 -> 0, NaN -> 0
+    vals = np.array([[[-0.5, 0.0, 0.5], [1.0, 20.0, np.nan]]])
+    q = quantize_u8(vals)
+    assert q.tolist() == [[[0, 0, 127], [255, 255, 0]]]
+
+
+def test_to_rgb8_gamma():
+    lin = np.full((1, 1, 3), 0.25)
+    assert (to_rgb8(lin) == int(0.5 * 255.999)).all()  # sqrt(0.25)=0.5

@@ -1,0 +1,64 @@
+import jax
+import numpy as np
+import pytest
+
+from rust_pathtracer_tpu.models import get_scene
+from rust_pathtracer_tpu.parallel import make_mesh, render_radiance_sharded
+from rust_pathtracer_tpu.render import RenderSettings, render_radiance
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    sd = get_scene("CornellBox")
+    return sd.build(), sd.camera_at(0.0)
+
+
+SETTINGS = RenderSettings(
+    width=24, height=24, samples_per_pixel=8, max_bounces=6, background=(0.0, 0.0, 0.0)
+)
+
+
+def test_mesh_shapes():
+    m = make_mesh()
+    assert m.shape["tiles"] * m.shape["samples"] == 8
+    m2 = make_mesh(samples=2)
+    assert m2.shape == {"tiles": 4, "samples": 2}
+    with pytest.raises(ValueError):
+        make_mesh(tiles=3, samples=2)
+
+
+@pytest.mark.parametrize("tiles,samples", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_matches_single_device(cornell, tiles, samples):
+    scene, cam = cornell
+    key = jax.random.PRNGKey(11)
+    ref, ref_stats = render_radiance(scene, cam, SETTINGS, key)
+    mesh = make_mesh(tiles=tiles, samples=samples)
+    img, stats = render_radiance_sharded(scene, cam, SETTINGS, key, mesh)
+    # counter-based RNG: sharded result equals the single-device image
+    # (up to f32 accumulation order across sample shards)
+    assert np.allclose(np.asarray(img), np.asarray(ref), atol=2e-6)
+    assert float(stats.segments) >= float(ref_stats.segments)
+
+
+def test_sharded_odd_image_size(cornell):
+    # width*height not divisible by n_tiles exercises pixel padding
+    scene, cam = cornell
+    s = RenderSettings(
+        width=13, height=11, samples_per_pixel=4, max_bounces=4, background=(0.0, 0.0, 0.0)
+    )
+    key = jax.random.PRNGKey(3)
+    ref, _ = render_radiance(scene, cam, s, key)
+    img, _ = render_radiance_sharded(scene, cam, s, key, make_mesh(tiles=8))
+    assert np.allclose(np.asarray(img), np.asarray(ref), atol=2e-6)
+
+
+def test_sharded_odd_spp_split(cornell):
+    # spp=10 over 4 sample groups: padded sample ranges must be masked
+    scene, cam = cornell
+    s = RenderSettings(
+        width=16, height=8, samples_per_pixel=10, max_bounces=4, background=(0.0, 0.0, 0.0)
+    )
+    key = jax.random.PRNGKey(4)
+    ref, _ = render_radiance(scene, cam, s, key)
+    img, _ = render_radiance_sharded(scene, cam, s, key, make_mesh(tiles=2, samples=4))
+    assert np.allclose(np.asarray(img), np.asarray(ref), atol=2e-6)
