@@ -35,6 +35,9 @@ REPS = 5
 
 
 def main():
+    from rust_pathtracer_tpu.utils import compcache
+
+    compcache.enable()
     from rust_pathtracer_tpu.grad import CameraParams, DiffParams, apply_params
     from rust_pathtracer_tpu.models import get_scene
     from rust_pathtracer_tpu.render import RenderSettings, render_radiance

@@ -66,6 +66,10 @@ def main(argv=None) -> int:
 
     import dataclasses
 
+    from rust_pathtracer_tpu.utils import compcache
+
+    compcache.enable()
+
     import jax
 
     from rust_pathtracer_tpu.render import render_radiance

@@ -64,6 +64,28 @@ def _load():
             ctypes.POINTER(ctypes.c_int),    # out leaf_count [2n]
             ctypes.POINTER(ctypes.c_int),    # out prim_order [n]
         ]
+        lib.pt_obj_open.restype = ctypes.c_void_p
+        lib.pt_obj_open.argtypes = [ctypes.c_char_p]
+        lib.pt_obj_counts.restype = None
+        lib.pt_obj_counts.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.pt_obj_fill.restype = None
+        lib.pt_obj_fill.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_double),  # verts [n*9]
+            ctypes.POINTER(ctypes.c_double),  # normals [n*3]
+            ctypes.POINTER(ctypes.c_uint8),   # has_normal [n]
+            ctypes.POINTER(ctypes.c_int),     # mat_index [n]
+            ctypes.POINTER(ctypes.c_float),   # mat_kd [m*3]
+            ctypes.POINTER(ctypes.c_float),   # mat_ns [m]
+            ctypes.POINTER(ctypes.c_float),   # mat_ni [m]
+            ctypes.POINTER(ctypes.c_int),     # mat_illum [m]
+        ]
+        lib.pt_obj_close.restype = None
+        lib.pt_obj_close.argtypes = [ctypes.c_void_p]
         _LIB = lib
         return _LIB
 
@@ -108,3 +130,49 @@ def build_bvh(bbox_min: np.ndarray, bbox_max: np.ndarray, leaf_size: int = 4):
         leaf_count=leaf_count[:nodes].copy(),
         prim_order=order.copy(),
     )
+
+
+def load_obj(path: str):
+    """Native OBJ+MTL parse; returns the same tuple shape as
+    scene.obj_loader.parse_obj_arrays: (verts (T,3,3) f64, normals
+    (T,3) f64, has_normal (T,) bool, mat_index (T,) i32, materials
+    list of dicts). Returns None when the native lib is unavailable
+    or the file cannot be opened."""
+    lib = _load()
+    if lib is None:
+        return None
+    handle = lib.pt_obj_open(path.encode())
+    if not handle:
+        return None
+    try:
+        ntris = ctypes.c_int64()
+        nmats = ctypes.c_int64()
+        lib.pt_obj_counts(handle, ctypes.byref(ntris), ctypes.byref(nmats))
+        t, m = ntris.value, nmats.value
+        verts = np.empty((t, 3, 3), np.float64)
+        normals = np.empty((t, 3), np.float64)
+        has_n = np.empty(t, np.uint8)
+        mat_idx = np.empty(t, np.int32)
+        kd = np.empty((max(m, 1), 3), np.float32)
+        ns = np.empty(max(m, 1), np.float32)
+        ni = np.empty(max(m, 1), np.float32)
+        illum = np.empty(max(m, 1), np.int32)
+        dptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        lib.pt_obj_fill(
+            handle,
+            dptr(verts), dptr(normals),
+            has_n.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            mat_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            kd.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ns.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ni.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            illum.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        )
+        materials = [
+            dict(kd=tuple(kd[i].tolist()), ns=float(ns[i]), ni=float(ni[i]),
+                 illum=int(illum[i]))
+            for i in range(m)
+        ]
+        return verts, normals, has_n.astype(bool), mat_idx, materials
+    finally:
+        lib.pt_obj_close(handle)

@@ -276,11 +276,20 @@ def hit_record(
 
 
 def closest_hit(scene, o, d, t_min, t_max):
-    """Scene-level closest hit: BVH traversal when present, else brute
-    force.  Returns (hit, t, idx)."""
+    """Scene-level closest hit: Pallas fused sweep on TPU for small
+    scenes, jnp brute force elsewhere, BVH traversal for big scenes.
+    Returns (hit, t, idx)."""
     from rust_pathtracer_tpu.ops.bvh_traverse import closest_hit_bvh
 
     if scene.bvh is None:
+        if scene.kinds_static is not None:
+            from rust_pathtracer_tpu.ops.pallas_intersect import (
+                closest_hit_pallas,
+                pallas_available,
+            )
+
+            if pallas_available():
+                return closest_hit_pallas(scene, o, d, t_min)
         return closest_hit_brute(
             scene.prims, o, d, t_min, t_max, prim_types=scene.prim_types
         )

@@ -1,0 +1,184 @@
+"""Pallas TPU kernel: fused brute-force closest-hit.
+
+For the benchmark-class scenes (CornellBox: 20 primitives) the whole
+primitive table fits in SMEM and the best intersector is a dense sweep
+with zero divergence.  The jnp version (ops/intersect.py) materializes
+an (R, P) distance matrix in HBM between XLA fusions; this kernel keeps
+the entire sweep in registers/VMEM:
+
+* rays live as 6 component planes shaped (R/128, 128) — lane dim 128,
+  one grid step processes a (BLOCK_ROWS, 128) tile of rays;
+* the primitive table is a (16, P) f32 array in SMEM (rows 0-11 the
+  packed ``Primitives.data``, 12 kind, 13 aux);
+* the per-primitive *type* is STATIC (baked from the host-side scene at
+  trace time via ``SceneData.kinds_static``), so each unrolled
+  primitive test compiles to exactly its own formula — no masked
+  3-way dispatch;
+* output: best hit distance + primitive index per ray.
+
+The kernel is only used for the detached hit *search* (integrator
+``_find_hit`` stop-gradients its inputs), so no custom VJP is needed;
+the jnp path remains the correctness oracle and the CPU fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rust_pathtracer_tpu.ops.intersect import T_MISS, TRI_DET_EPS
+from rust_pathtracer_tpu.scene.types import PRIM_RECT, PRIM_SPHERE, PRIM_TRIANGLE
+
+BLOCK_ROWS = 8          # rays per grid step = BLOCK_ROWS * 128
+MAX_PALLAS_PRIMS = 128  # beyond this, BVH wins anyway
+
+# rect fixed axis -> the two free axes in ascending order (types.py)
+_RECT_FREE = {0: (1, 2), 1: (0, 2), 2: (0, 1)}
+
+
+def pallas_available() -> bool:
+    return (
+        jax.default_backend() == "tpu"
+        and os.environ.get("RPT_DISABLE_PALLAS", "0") != "1"
+    )
+
+
+def _kernel(kinds, t_min, prim_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+            dz_ref, t_ref, idx_ref):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+
+    # ray-only terms hoisted out of the primitive sweep
+    a = dx * dx + dy * dy + dz * dz
+    inv_a = 1.0 / a
+    o_c = (ox, oy, oz)
+    d_c = (dx, dy, dz)
+
+    best_t = jnp.full(ox.shape, T_MISS, jnp.float32)
+    best_i = jnp.full(ox.shape, -1, jnp.int32)
+
+    for p, (kind, aux) in enumerate(kinds):
+        s = lambda row: prim_ref[row, p]  # scalar read from SMEM
+        if kind == PRIM_SPHERE:
+            cx, cy, cz, r = s(0), s(1), s(2), s(3)
+            ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+            half_b = dx * ocx + dy * ocy + dz * ocz
+            c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            dis = half_b * half_b - a * c
+            sqrtd = jnp.sqrt(jnp.maximum(dis, 0.0))
+            root1 = (-half_b - sqrtd) * inv_a
+            root2 = (-half_b + sqrtd) * inv_a
+            ok1 = (root1 >= t_min) & (root1 <= best_t)
+            ok2 = (root2 >= t_min) & (root2 <= best_t)
+            t = jnp.where(ok1, root1, root2)
+            valid = (dis >= 0.0) & (ok1 | ok2)
+        elif kind == PRIM_RECT:
+            k, a0, b0, a1, b1 = s(0), s(1), s(2), s(3), s(4)
+            fa, fb = _RECT_FREE[aux]
+            t = (k - o_c[aux]) / d_c[aux]
+            av = o_c[fa] + t * d_c[fa]
+            bv = o_c[fb] + t * d_c[fb]
+            valid = (
+                (t >= t_min) & (t <= best_t)
+                & (av >= a0) & (av <= a1) & (bv >= b0) & (bv <= b1)
+            )
+        elif kind == PRIM_TRIANGLE:
+            p1x, p1y, p1z = s(0), s(1), s(2)
+            e1x, e1y, e1z = s(3), s(4), s(5)
+            e2x, e2y, e2z = s(6), s(7), s(8)
+            pvx = dy * e2z - dz * e2y
+            pvy = dz * e2x - dx * e2z
+            pvz = dx * e2y - dy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+            tvx, tvy, tvz = ox - p1x, oy - p1y, oz - p1z
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+            valid = (
+                (det >= TRI_DET_EPS)
+                & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t >= t_min) & (t <= best_t)
+            )
+        else:
+            raise ValueError(f"unknown static kind {kind}")
+
+        # strict `<` would drop equal-t later prims; the sweep uses
+        # best_t as the shrinking t_max like the reference's list scan
+        upd = valid & (t < best_t)
+        best_t = jnp.where(upd, t, best_t)
+        best_i = jnp.where(upd, p, best_i)
+
+    t_ref[:] = best_t
+    idx_ref[:] = best_i
+
+
+@functools.partial(jax.jit, static_argnames=("kinds", "t_min", "interpret"))
+def _closest_hit_pallas(packed, o, d, *, kinds, t_min, interpret=False):
+    R = o.shape[0]
+    lane_block = BLOCK_ROWS * 128
+    rp = -(-R // lane_block) * lane_block
+    pad = rp - R
+
+    def plane(x):
+        return jnp.pad(x, (0, pad)).reshape(rp // 128, 128)
+
+    planes = [plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
+              plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2])]
+
+    rows = rp // 128
+    grid = (rows // BLOCK_ROWS,)
+    ray_spec = pl.BlockSpec(
+        (BLOCK_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    t, idx = pl.pallas_call(
+        functools.partial(_kernel, kinds, t_min),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                packed.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+        ] + [ray_spec] * 6,
+        out_specs=(ray_spec, ray_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+        ),
+        interpret=interpret,
+    )(packed, *planes)
+    t = t.reshape(-1)[:R]
+    idx = idx.reshape(-1)[:R]
+    hit = idx >= 0
+    return hit, jnp.where(hit, t, T_MISS), jnp.maximum(idx, 0)
+
+
+def pack_prims(prims):
+    """(16, P) f32 SMEM table: rows 0-11 data, 12 kind, 13 aux."""
+    data_t = prims.data.T  # (12, P)
+    extra = jnp.stack([
+        prims.kind.astype(jnp.float32),
+        prims.aux.astype(jnp.float32),
+        jnp.zeros_like(prims.kind, dtype=jnp.float32),
+        jnp.zeros_like(prims.kind, dtype=jnp.float32),
+    ])
+    return jnp.concatenate([data_t, extra], axis=0)
+
+
+def closest_hit_pallas(scene, o, d, t_min, interpret=False):
+    """Drop-in for ops.intersect.closest_hit_brute on TPU; requires
+    ``scene.kinds_static``.  ``interpret=True`` runs the kernel in the
+    Pallas interpreter (CPU testing)."""
+    packed = pack_prims(scene.prims)
+    return _closest_hit_pallas(
+        packed, o, d, kinds=scene.kinds_static, t_min=float(t_min),
+        interpret=interpret,
+    )

@@ -358,6 +358,13 @@ class SceneBuilder:
             prim_types=tuple(sorted(set(int(k) for k in prim_kind))),
             tex_types=tuple(sorted(set(self._tex_kind))) if self._tex_kind else (),
             mat_types=tuple(sorted(set(self._mat_kind))),
+            kinds_static=(
+                tuple(
+                    (int(k), int(a)) for k, a in zip(prim_kind, prim_aux)
+                )
+                if (not use_bvh and len(prim_kind) <= 128)
+                else None
+            ),
             prims=Primitives(
                 kind=jnp.asarray(prim_kind),
                 mat=jnp.asarray(prim_mat),

@@ -108,45 +108,67 @@ def parse_obj(path: str):
     return verts, vns, norm_idx, tri_mtl, materials
 
 
+def parse_obj_arrays(path: str, prefer_native: bool = True):
+    """Parser-independent representation: (verts (T,3,3) f64, normals
+    (T,3) f64 first-vertex vn or 0, has_normal (T,) bool, mat_index
+    (T,) i32 into the materials list or -1, materials list of dicts
+    with kd/ns/ni/illum).  Uses the C++ parser when available."""
+    if prefer_native:
+        try:
+            from rust_pathtracer_tpu import native
+
+            out = native.load_obj(path)
+            if out is not None:
+                return out
+        except ImportError:
+            pass
+
+    verts, vns, norm_idx, tri_mtl, mtl_defs = parse_obj(path)
+    t = verts.shape[0]
+    names = list(mtl_defs)
+    materials = [mtl_defs[n] for n in names]
+    name_to_idx = {n: i for i, n in enumerate(names)}
+    mat_index = np.asarray(
+        [name_to_idx.get(m, -1) if m is not None else -1 for m in tri_mtl],
+        np.int32,
+    )
+    has_n = (norm_idx >= 0) & (norm_idx < vns.shape[0]) if t else np.zeros(0, bool)
+    normals = np.zeros((t, 3), np.float64)
+    if vns.shape[0] and t:
+        normals[has_n] = vns[norm_idx[has_n]]
+    return verts, normals, has_n, mat_index, materials
+
+
 def load_obj_into(builder, path: str, default_material: Optional[int] = None) -> int:
     """Append an OBJ's triangles to ``builder``; returns triangle count."""
-    verts, vns, norm_idx, tri_mtl, mtl_defs = parse_obj(path)
+    verts, vnorms, has_n, mat_index, materials = parse_obj_arrays(path)
     tcount = verts.shape[0]
     if tcount == 0:
         raise ValueError(f"OBJ {path!r} contains no triangles")
 
     # map MTL definitions -> material ids (obj_model.rs:28-50)
-    mat_ids: Dict[Optional[str], int] = {}
-    for name, m in mtl_defs.items():
+    mat_ids = []
+    for m in materials:
         if m["illum"] == 7:
-            mat_ids[name] = builder.dielectric(m["ni"])
+            mat_ids.append(builder.dielectric(m["ni"]))
         elif m["illum"] == 5:
-            mat_ids[name] = builder.metal(m["kd"], 1.0 / m["ns"])
+            mat_ids.append(builder.metal(m["kd"], 1.0 / m["ns"]))
         else:
-            mat_ids[name] = builder.lambertian(m["kd"])
+            mat_ids.append(builder.lambertian(m["kd"]))
     missing = (
         default_material
         if default_material is not None
         else builder.lambertian((0.2, 0.7, 0.2))  # obj_model.rs:82-84
     )
-
-    tri_mats = np.asarray(
-        [mat_ids.get(m, missing) if m is not None else missing for m in tri_mtl],
-        np.int32,
-    )
+    mat_lut = np.asarray(mat_ids + [missing], np.int32)
+    tri_mats = mat_lut[np.where(mat_index >= 0, mat_index, len(mat_ids))]
 
     # normals: first vertex's OBJ normal when present, else geometric
     e1 = verts[:, 1] - verts[:, 0]
     e2 = verts[:, 2] - verts[:, 0]
     geo_n = np.cross(e1, e2)
     geo_n = geo_n / np.maximum(np.linalg.norm(geo_n, axis=-1, keepdims=True), 1e-30)
-    has_n = (norm_idx >= 0) & (norm_idx < vns.shape[0])
-    if vns.shape[0] == 0:
-        normals = geo_n
-    else:
-        normals = np.where(
-            has_n[:, None], vns[np.clip(norm_idx, 0, vns.shape[0] - 1)], geo_n
-        )
+    normals = np.where(has_n[:, None], vnorms, geo_n)
 
     builder.add_triangles(verts, tri_mats, normals)
     return tcount

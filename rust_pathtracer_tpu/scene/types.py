@@ -116,6 +116,12 @@ class SceneData:
         default=(MAT_LAMBERTIAN, MAT_METAL, MAT_DIELECTRIC, MAT_LIGHT),
         metadata=dict(static=True),
     )
+    # per-primitive (kind, aux) tuple for SMALL scenes: lets the Pallas
+    # closest-hit kernel unroll one statically-typed test per primitive
+    # (None for BVH-sized scenes)
+    kinds_static: Optional[Tuple[Tuple[int, int], ...]] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     @property
     def num_prims(self) -> int:
