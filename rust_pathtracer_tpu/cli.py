@@ -50,6 +50,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="shard over a device mesh, e.g. 4x2 (default: single device)",
     )
     p.add_argument("--profile-dir", help="write a jax.profiler trace here")
+    p.add_argument(
+        "--rebuild-bvh", action="store_true",
+        help="rebuild the acceleration structure every animation frame "
+             "(BASELINE SphereField config; the reference builds once)",
+    )
+    p.add_argument(
+        "--debug-nans", action="store_true",
+        help="enable jax NaN checking (the framework's race/sanitizer slot)",
+    )
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -71,6 +80,9 @@ def main(argv=None) -> int:
     compcache.enable()
 
     import jax
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     from rust_pathtracer_tpu.render import render_radiance
     from rust_pathtracer_tpu.utils.image import frame_path, to_rgb8, write_gif, write_png
@@ -135,6 +147,11 @@ def main(argv=None) -> int:
         for frame in range(args.frame_start, frames):
             t = frame / frames  # main.rs:52: t = frame / total (not total-1)
             cam = sd.camera_at(t)
+            if args.rebuild_bvh and frame > args.frame_start:
+                with timer.stage("bvh rebuild"):
+                    scene = (
+                        sd.build(use_bvh=use_bvh) if args.scene_json else sd.build()
+                    )
             t0 = time.perf_counter()
             with timer.stage("render"):
                 if mesh is not None:

@@ -64,20 +64,20 @@ class TraceStats(NamedTuple):
     bounces: jnp.ndarray   # i32 scalar: bounce iterations executed
 
 
-def _find_hit(scene, o, d):
-    """Closest-hit with the discrete search detached from the autodiff
-    graph; the winning primitive's t is re-derived differentiably."""
+def _find_hit(scene, o, d, differentiable):
+    """Closest-hit; in differentiable mode the discrete search is
+    detached and the winning primitive's t is re-derived (via a one-hot
+    MXU contraction) so gradients flow through hit geometry."""
     sg = jax.lax.stop_gradient
-    hit_mask, _, idx = closest_hit(sg(scene), sg(o), sg(d), T_MIN, T_MAX)
+    hit_mask, t_search, idx = closest_hit(sg(scene), sg(o), sg(d), T_MIN, T_MAX)
+    if not differentiable:
+        return hit_mask, jnp.where(hit_mask, t_search, 1.0), idx
+
+    from rust_pathtracer_tpu.ops.intersect import gather_prim_rows
+
+    kind, aux, data, _ = gather_prim_rows(scene.prims, idx)
     t_diff, _ = prim_intersect_t(
-        scene.prims.kind[idx],
-        scene.prims.aux[idx],
-        scene.prims.data[idx],
-        o,
-        d,
-        T_MIN,
-        T_MAX,
-        prim_types=scene.prim_types,
+        kind, aux, data, o, d, T_MIN, T_MAX, prim_types=scene.prim_types
     )
     # dead/miss lanes get a harmless finite t so downstream math stays
     # NaN-free (NaNs in unselected `where` branches poison gradients)
@@ -85,11 +85,12 @@ def _find_hit(scene, o, d):
     return hit_mask, t, idx
 
 
-def _bounce_step(scene, lane_keys, background, rr_start, state, bounce):
+def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
+                 differentiable=False):
     o, d, thr, rad, alive, segments = state
     segments = segments + jnp.sum(alive.astype(jnp.float32))
 
-    hit_mask, t, idx = _find_hit(scene, o, d)
+    hit_mask, t, idx = _find_hit(scene, o, d, differentiable)
     hit_mask = hit_mask & alive
     rec = hit_record(
         scene.prims, idx, o, d, t, hit_mask, prim_types=scene.prim_types
@@ -178,7 +179,8 @@ def trace(
         # (HBM-bound otherwise: ~20 bounces x O(100B)/lane of residuals)
         step = jax.checkpoint(
             lambda state, bounce: _bounce_step(
-                scene, lane_keys, background, rr_start, state, bounce
+                scene, lane_keys, background, rr_start, state, bounce,
+                differentiable=True,
             )
         )
 

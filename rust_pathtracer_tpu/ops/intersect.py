@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -198,6 +199,48 @@ def closest_hit_brute(prims: Primitives, o, d, t_min, t_max, prim_types=None):
     return hit, tbest, idx
 
 
+# Per-lane random gathers into small tables are pathologically slow on
+# TPU (~10ms for 1M lanes x 20 rows, measured); a one-hot contraction
+# computes the same thing on the MXU in microseconds and is
+# differentiable w.r.t. the table.  Above this row count the one-hot
+# matrix gets expensive and real gathers win.
+ONEHOT_GATHER_MAX_ROWS = 128
+
+
+def gather_prim_rows(prims: Primitives, idx):
+    """prims rows at per-lane indices: (kind, aux, data, mat)."""
+    num = prims.kind.shape[0]
+    idx = jnp.clip(idx, 0, num - 1)
+    if num <= ONEHOT_GATHER_MAX_ROWS:
+        onehot = (idx[..., None] == np.arange(num, dtype=np.int32)).astype(
+            jnp.float32
+        )
+        table = jnp.concatenate(
+            [
+                prims.data,
+                prims.kind[:, None].astype(jnp.float32),
+                prims.aux[:, None].astype(jnp.float32),
+                prims.mat[:, None].astype(jnp.float32),
+            ],
+            axis=1,
+        )  # (P, 15)
+        # HIGHEST precision: the MXU's default bf16 decomposition would
+        # corrupt f32 table values (geometry coordinates, int codes);
+        # with full-precision passes a one-hot contraction is exact.
+        rows = jnp.dot(
+            onehot,
+            table,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        data = rows[..., :12]
+        kind = jnp.round(rows[..., 12]).astype(jnp.int32)
+        aux = jnp.round(rows[..., 13]).astype(jnp.int32)
+        mat = jnp.round(rows[..., 14]).astype(jnp.int32)
+        return kind, aux, data, mat
+    return prims.kind[idx], prims.aux[idx], prims.data[idx], prims.mat[idx]
+
+
 def hit_record(
     prims: Primitives, idx, o, d, t, valid, prim_types=None
 ) -> HitRecord:
@@ -209,10 +252,7 @@ def hit_record(
     """
     types = prim_types if prim_types is not None else (0, 1, 2)
     idx = jnp.clip(idx, 0, prims.kind.shape[0] - 1)
-    kind = prims.kind[idx]
-    aux = prims.aux[idx]
-    data = prims.data[idx]
-    mat = prims.mat[idx]
+    kind, aux, data, mat = gather_prim_rows(prims, idx)
 
     point = o + t[..., None] * d
 

@@ -13,6 +13,11 @@ import os
 def enable(cache_dir: str | None = None) -> str:
     import jax
 
+    # TPU-only: CPU AOT artifacts are machine-feature specific and the
+    # remote-compile service may not match the local host (SIGILL risk)
+    if jax.default_backend() != "tpu":
+        return ""
+
     cache_dir = cache_dir or os.environ.get(
         "RPT_COMPILATION_CACHE",
         os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(

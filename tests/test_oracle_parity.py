@@ -1,0 +1,81 @@
+"""End-to-end radiance parity vs the independent f64 oracle (SURVEY §4b).
+
+The oracle (tests/oracle.py) implements the reference semantics in pure
+numpy with true rejection sampling and its own RNG — zero shared code.
+Monte-Carlo estimates of the same integral must agree within the
+oracle's own seed-to-seed noise; a systematic offset (energy loss, bad
+material weights, orientation flip) fails these bounds.
+
+(Verified at higher spp during round-1 bring-up: ours-vs-oracle MAD on
+CornellBox 40x40 was BELOW the oracle's seed-to-seed MAD.)
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from oracle import cornell_camera, cornell_prims, render_oracle
+from rust_pathtracer_tpu.models import get_scene
+from rust_pathtracer_tpu.render import RenderSettings, render_radiance
+from rust_pathtracer_tpu.scene.builder import SceneBuilder
+
+
+def test_cornell_box_matches_oracle():
+    res, spp = 20, 48
+    oracle_img = render_oracle(
+        cornell_prims(), cornell_camera(), res, res, spp, 12, (0, 0, 0), seed=1
+    )
+    sd = get_scene("CornellBox")
+    s = RenderSettings(res, res, 4 * spp, 12, (0.0, 0.0, 0.0))
+    ours, _ = render_radiance(sd.build(), sd.camera_at(0.0), s, jax.random.PRNGKey(0))
+    ours = np.asarray(ours, np.float64)
+
+    # global mean within 6% (MC noise at this spp is ~3%)
+    assert abs(ours.mean() - oracle_img.mean()) / oracle_img.mean() < 0.06
+    # per-pixel agreement within noise bounds
+    assert np.abs(ours - oracle_img).mean() < 0.12
+
+
+def test_light_scene_matches_oracle():
+    # LightTest-shaped scene with a solid ground (the oracle has no
+    # perlin): sphere + ground + three one-sided rect lights
+    prims = [
+        {"type": "sphere", "center": (0.0, -1000.0, 0.0), "radius": 1000.0,
+         "mat": {"type": "lam", "color": (0.5, 0.5, 0.5)}},
+        {"type": "sphere", "center": (0.0, 2.0, 0.0), "radius": 2.0,
+         "mat": {"type": "lam", "color": (0.5, 0.5, 0.5)}},
+        {"type": "rect", "axis": 2, "k": -2.0, "a0": 3.0, "a1": 5.0,
+         "b0": 1.0, "b1": 3.0, "dir": 1.0,
+         "mat": {"type": "light", "color": (4.0, 4.0, 4.0)}},
+        {"type": "rect", "axis": 1, "k": 6.0, "a0": -1.0, "a1": 1.0,
+         "b0": -1.0, "b1": 1.0, "dir": -1.0,
+         "mat": {"type": "light", "color": (4.0, 4.0, 4.0)}},
+        {"type": "rect", "axis": 0, "k": -6.0, "a0": 1.0, "a1": 3.0,
+         "b0": -2.0, "b1": 2.0, "dir": 1.0,
+         "mat": {"type": "light", "color": (4.0, 4.0, 4.0)}},
+    ]
+    cam = {"lookfrom": (26.0, 3.0, 6.0), "lookat": (0.0, 2.0, 0.0),
+           "up": (0.0, 1.0, 0.0), "vfov": 20.0, "aspect": 1.0,
+           "aperture": 0.0, "focus": 10.0}
+    res, spp = 20, 64
+    oracle_img = render_oracle(prims, cam, res, res, spp, 10, (0, 0, 0), seed=2)
+
+    b = SceneBuilder()
+    gray = b.lambertian((0.5, 0.5, 0.5))
+    b.add_sphere((0.0, -1000.0, 0.0), 1000.0, gray)
+    b.add_sphere((0.0, 2.0, 0.0), 2.0, gray)
+    light = b.diffuse_light((4.0, 4.0, 4.0))
+    b.add_rect("xy", (3.0, 1.0, -2.0), (5.0, 3.0, -2.0), 1.0, light)
+    b.add_rect("xz", (-1.0, 6.0, -1.0), (1.0, 6.0, 1.0), -1.0, light)
+    b.add_rect("yz", (-6.0, 1.0, -2.0), (-6.0, 3.0, 2.0), 1.0, light)
+    scene = b.build(use_bvh=False)
+    from rust_pathtracer_tpu.camera import make_camera
+
+    camera = make_camera((26.0, 3.0, 6.0), (0.0, 2.0, 0.0), (0.0, 1.0, 0.0),
+                         20.0, 1.0, 0.0, 10.0)
+    s = RenderSettings(res, res, 4 * spp, 10, (0.0, 0.0, 0.0))
+    ours, _ = render_radiance(scene, camera, s, jax.random.PRNGKey(0))
+    ours = np.asarray(ours, np.float64)
+
+    assert abs(ours.mean() - oracle_img.mean()) / max(oracle_img.mean(), 1e-9) < 0.08
+    assert np.abs(ours - oracle_img).mean() < 0.1
