@@ -173,6 +173,7 @@ def main(argv=None) -> int:
                 img.block_until_ready()
             metrics.wall_seconds += time.perf_counter() - t0
             metrics.segments += float(stats.segments)
+            metrics.add_occupancy(stats.occupancy)
             metrics.frames += 1
 
             rgb = to_rgb8(img)

@@ -60,8 +60,13 @@ T_MAX = np.float32(1.0e30)
 
 
 class TraceStats(NamedTuple):
-    segments: jnp.ndarray  # f32 scalar: total ray segments traced
-    bounces: jnp.ndarray   # i32 scalar: bounce iterations executed
+    segments: jnp.ndarray   # f32 scalar: total ray segments traced
+    bounces: jnp.ndarray    # i32 scalar: bounce iterations executed
+    occupancy: jnp.ndarray  # f32 (MAX_BOUNCE_STATS,): alive lanes per bounce
+
+
+# fixed histogram length so TraceStats shapes are static across scenes
+MAX_BOUNCE_STATS = 64
 
 
 def _find_hit(scene, o, d, differentiable):
@@ -72,6 +77,14 @@ def _find_hit(scene, o, d, differentiable):
     hit_mask, t_search, idx = closest_hit(sg(scene), sg(o), sg(d), T_MIN, T_MAX)
     if not differentiable:
         return hit_mask, jnp.where(hit_mask, t_search, 1.0), idx
+
+    # name the discrete search results so the remat policy saves them:
+    # the backward sweep then re-runs only the differentiable shading,
+    # not the (stop-gradient) BVH walk / Pallas sweep
+    from jax.ad_checkpoint import checkpoint_name
+
+    hit_mask = checkpoint_name(hit_mask, "hit_mask")
+    idx = checkpoint_name(idx, "hit_idx")
 
     from rust_pathtracer_tpu.ops.intersect import gather_prim_rows
 
@@ -87,8 +100,12 @@ def _find_hit(scene, o, d, differentiable):
 
 def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
                  differentiable=False):
-    o, d, thr, rad, alive, segments = state
-    segments = segments + jnp.sum(alive.astype(jnp.float32))
+    o, d, thr, rad, alive, segments, occupancy = state
+    n_alive = jnp.sum(alive.astype(jnp.float32))
+    segments = segments + n_alive
+    occupancy = jax.lax.dynamic_update_slice(
+        occupancy, n_alive[None], (jnp.minimum(bounce, MAX_BOUNCE_STATS - 1),)
+    )
 
     hit_mask, t, idx = _find_hit(scene, o, d, differentiable)
     hit_mask = hit_mask & alive
@@ -136,7 +153,7 @@ def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
     thr, alive = jax.lax.cond(
         bounce >= rr_start, roulette, lambda args: args, (thr, alive)
     )
-    return (o, d, thr, rad, alive, segments)
+    return (o, d, thr, rad, alive, segments, occupancy)
 
 
 def trace(
@@ -164,24 +181,31 @@ def trace(
     # mesh-varying) ray arrays so shard_map's varying-axis tracking
     # sees matching carry types on both sides of the loop
     zeros3 = origins * 0.0
+    zero_scalar = jnp.sum(zeros3[..., 0])
     init = (
         origins,
         directions,
         zeros3 + 1.0,                       # throughput
         zeros3,                             # radiance
         zeros3[..., 0] == 0.0,              # alive (origins are finite)
-        jnp.sum(zeros3[..., 0]),            # segment counter
+        zero_scalar,                        # segment counter
+        zero_scalar + jnp.zeros((MAX_BOUNCE_STATS,), jnp.float32),  # occupancy
     )
 
     if differentiable:
         # remat each bounce: the backward sweep recomputes the bounce
         # forward instead of saving every intermediate of every bounce
-        # (HBM-bound otherwise: ~20 bounces x O(100B)/lane of residuals)
+        # (HBM-bound otherwise: ~20 bounces x O(100B)/lane of residuals).
+        # Exception: the discrete hit-search results (5 B/lane/bounce)
+        # are saved so the expensive search itself is not re-run.
         step = jax.checkpoint(
             lambda state, bounce: _bounce_step(
                 scene, lane_keys, background, rr_start, state, bounce,
                 differentiable=True,
-            )
+            ),
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "hit_mask", "hit_idx"
+            ),
         )
 
         def scan_body(state, bounce):
@@ -205,5 +229,7 @@ def trace(
 
         bounces_done, state = jax.lax.while_loop(cond, body, (jnp.int32(0), init))
 
-    _, _, _, rad, _, segments = state
-    return rad, TraceStats(segments=segments, bounces=bounces_done)
+    _, _, _, rad, _, segments, occupancy = state
+    return rad, TraceStats(
+        segments=segments, bounces=bounces_done, occupancy=occupancy
+    )

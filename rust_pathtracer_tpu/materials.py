@@ -27,6 +27,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from rust_pathtracer_tpu import vecmath as vm
+from rust_pathtracer_tpu.ops import table
 from rust_pathtracer_tpu.ops.intersect import HitRecord
 from rust_pathtracer_tpu.scene.types import (
     MAT_DIELECTRIC,
@@ -47,11 +48,11 @@ def emitted(scene, hit: HitRecord):
     """Emitted radiance at the hit (material.rs:159-166): light material
     only, gated on front_face (one-sided emitters)."""
     mats = scene.materials
-    kind = mats.kind[hit.mat]
     if MAT_LIGHT not in scene.mat_types:
         return jnp.zeros_like(hit.point)
+    kind, tex = table.lookup(hit.mat, mats.kind, mats.tex)
     emit_tex = eval_texture(
-        scene.textures, mats.tex[hit.mat], hit.u, hit.v, hit.point, scene.tex_types
+        scene.textures, tex, hit.u, hit.v, hit.point, scene.tex_types
     )
     on = (kind == MAT_LIGHT) & hit.front_face
     return jnp.where(on[..., None], emit_tex, 0.0)
@@ -66,16 +67,16 @@ def scatter(scene, hit: HitRecord, d_in, sphere_dir, ball_dir, coin) -> ScatterR
     reflect/refract choice.
     """
     mats = scene.materials
-    kind = mats.kind[hit.mat]
+    kind, tex, fuzz, ir = table.lookup(
+        hit.mat, mats.kind, mats.tex, mats.fuzz, mats.ir
+    )
     n = hit.normal
 
     needs_albedo = (MAT_LAMBERTIAN in scene.mat_types) or (
         MAT_METAL in scene.mat_types
     )
     albedo = (
-        eval_texture(
-            scene.textures, mats.tex[hit.mat], hit.u, hit.v, hit.point, scene.tex_types
-        )
+        eval_texture(scene.textures, tex, hit.u, hit.v, hit.point, scene.tex_types)
         if needs_albedo
         else jnp.zeros_like(hit.point)
     )
@@ -95,7 +96,6 @@ def scatter(scene, hit: HitRecord, d_in, sphere_dir, ball_dir, coin) -> ScatterR
     if MAT_METAL in scene.mat_types:
         refl = vm.reflect(vm.normalize(d_in), n)
         ok = vm.dot(refl, n) > 0.0  # absorb below-surface (material.rs:80,91)
-        fuzz = mats.fuzz[hit.mat]
         d_m = refl + fuzz[..., None] * ball_dir
         sel = kind == MAT_METAL
         did |= sel & ok
@@ -103,7 +103,6 @@ def scatter(scene, hit: HitRecord, d_in, sphere_dir, ball_dir, coin) -> ScatterR
         attenuation = vm.where(sel, albedo, attenuation)
 
     if MAT_DIELECTRIC in scene.mat_types:
-        ir = mats.ir[hit.mat]
         ratio = jnp.where(hit.front_face, 1.0 / ir, ir)  # material.rs:118-122
         ud = vm.normalize(d_in)
         cos_t = jnp.minimum(vm.dot(-ud, n), 1.0)

@@ -66,6 +66,7 @@ def render_radiance_sharded(
         acc = jnp.zeros((pix.shape[0], 3), jnp.float32)
         segments = jnp.float32(0.0)
         bounces = jnp.int32(0)
+        occupancy = None
         for c in range(n_chunks):
             part, stats = trace_pixel_lanes(
                 scene,
@@ -85,26 +86,28 @@ def render_radiance_sharded(
             acc = acc + part
             segments = segments + stats.segments
             bounces = bounces + stats.bounces
+            occupancy = stats.occupancy if occupancy is None else occupancy + stats.occupancy
         # combine sample-partial sums (the renderer's "all-reduce")
         acc = jax.lax.psum(acc, SAMPLE_AXIS)
         segments = jax.lax.psum(segments, (SAMPLE_AXIS, TILE_AXIS))
         bounces = jax.lax.pmax(bounces, (SAMPLE_AXIS, TILE_AXIS))
-        return acc, segments, bounces
+        occupancy = jax.lax.psum(occupancy, (SAMPLE_AXIS, TILE_AXIS))
+        return acc, segments, bounces, occupancy
 
     shard_fn = jax.jit(
         jax.shard_map(
             tile_body,
             mesh=mesh,
             in_specs=(P(), P(), P(), P(), P(TILE_AXIS)),
-            out_specs=(P(TILE_AXIS), P(), P()),
+            out_specs=(P(TILE_AXIS), P(), P(), P()),
         )
     )
 
     # pad pixel ids; padded lanes render pixel 0 harmlessly and are cropped
     pix = jnp.arange(npix_pad, dtype=jnp.uint32) % jnp.uint32(npix)
-    acc, segments, bounces = shard_fn(scene, cam, key, bg, pix)
+    acc, segments, bounces, occupancy = shard_fn(scene, cam, key, bg, pix)
 
     img = (acc[:npix] / jnp.float32(spp)).reshape(height, width, 3)
     # padded sample range: lanes with sample_id >= spp are masked inside
     # trace_pixel_lanes, so the sum is exact.
-    return img, TraceStats(segments=segments, bounces=bounces)
+    return img, TraceStats(segments=segments, bounces=bounces, occupancy=occupancy)

@@ -199,6 +199,7 @@ def render_radiance(
     acc = jnp.zeros((settings.width * settings.height, 3), jnp.float32)
     total_segments = jnp.float32(0.0)
     total_bounces = jnp.int32(0)
+    total_occ = None
     for s0 in range(0, spp, chunk):
         part, stats = _render_chunk(
             scene,
@@ -217,9 +218,12 @@ def render_radiance(
         acc = acc + part
         total_segments = total_segments + stats.segments
         total_bounces = total_bounces + stats.bounces
+        total_occ = stats.occupancy if total_occ is None else total_occ + stats.occupancy
 
     img = (acc / jnp.float32(spp)).reshape(settings.height, settings.width, 3)
-    return img, TraceStats(segments=total_segments, bounces=total_bounces)
+    return img, TraceStats(
+        segments=total_segments, bounces=total_bounces, occupancy=total_occ
+    )
 
 
 def render_image(scene, cam: Camera, settings: RenderSettings, key):

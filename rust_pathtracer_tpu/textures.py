@@ -15,6 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from rust_pathtracer_tpu import perlin as perlin_mod
+from rust_pathtracer_tpu.ops import table
 from rust_pathtracer_tpu.scene.types import (
     TEX_CHECKER,
     TEX_IMAGE,
@@ -32,29 +33,27 @@ def eval_texture(textures: Textures, tex_id, u, v, point, tex_types=None):
     does not contain.
     """
     types = tex_types if tex_types is not None else (0, 1, 2, 3)
-    kind = textures.kind[tex_id]
+    kind, scale, child = table.lookup(
+        tex_id, textures.kind, textures.scale, textures.child
+    )
 
     if TEX_CHECKER in types:
         # sines = sin(f x) sin(f y) sin(f z); < 0 -> odd child
         # (texture.rs:38-44; the reference hard-codes f = 10).
-        f = textures.scale[tex_id][..., None]
-        s = jnp.sin(f * point)
+        s = jnp.sin(scale[..., None] * point)
         sines = s[..., 0] * s[..., 1] * s[..., 2]
-        child = jnp.where(
-            sines < 0.0, textures.child[tex_id, 0], textures.child[tex_id, 1]
-        )
-        tex_id = jnp.where(kind == TEX_CHECKER, child, tex_id)
-        kind = textures.kind[tex_id]
+        picked = jnp.where(sines < 0.0, child[..., 0], child[..., 1])
+        tex_id = jnp.where(kind == TEX_CHECKER, picked, tex_id)
+        kind, scale = table.lookup(tex_id, textures.kind, textures.scale)
 
     out = jnp.zeros(point.shape, point.dtype)
 
     if TEX_SOLID in types:
-        out = jnp.where(
-            (kind == TEX_SOLID)[..., None], textures.color[tex_id], out
-        )
+        (color,) = table.lookup(tex_id, textures.color)
+        out = jnp.where((kind == TEX_SOLID)[..., None], color, out)
 
     if TEX_PERLIN in types:
-        gray = perlin_mod.marble(point, textures.perm, textures.scale[tex_id])
+        gray = perlin_mod.marble(point, textures.perm, scale)
         out = jnp.where((kind == TEX_PERLIN)[..., None], gray[..., None], out)
 
     if TEX_IMAGE in types:

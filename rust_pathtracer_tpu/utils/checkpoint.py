@@ -132,6 +132,10 @@ def render_radiance_checkpointed(
             )
 
     img = (acc / jnp.float32(spp)).reshape(settings.height, settings.width, 3)
+    from rust_pathtracer_tpu.integrator import MAX_BOUNCE_STATS
+
     return img, TraceStats(
-        segments=jnp.float32(segments), bounces=jnp.int32(0)
+        segments=jnp.float32(segments),
+        bounces=jnp.int32(0),
+        occupancy=jnp.zeros((MAX_BOUNCE_STATS,), jnp.float32),
     )

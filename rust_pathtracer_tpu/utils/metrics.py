@@ -23,6 +23,14 @@ class RenderMetrics:
     segments: float = 0.0
     wall_seconds: float = 0.0
     frames: int = 0
+    occupancy: Optional[List[float]] = None  # alive lanes per bounce
+
+    def add_occupancy(self, occ) -> None:
+        occ = [float(x) for x in occ]
+        if self.occupancy is None:
+            self.occupancy = occ
+        else:
+            self.occupancy = [a + b for a, b in zip(self.occupancy, occ)]
 
     @property
     def rays_per_sec(self) -> float:
@@ -41,6 +49,11 @@ class RenderMetrics:
             f"{self.avg_path_length:.2f}",
             file=file,
         )
+        if self.occupancy and self.occupancy[0] > 0:
+            total = self.occupancy[0]
+            frac = [x / total for x in self.occupancy if x > 0][:16]
+            curve = " ".join(f"{x:.2f}" for x in frac)
+            print(f"[metrics] wavefront occupancy by bounce: {curve}", file=file)
 
 
 @dataclass
