@@ -51,6 +51,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--profile-dir", help="write a jax.profiler trace here")
     p.add_argument(
+        "--regen", action="store_true",
+        help="regeneration wavefront: terminated lanes refill from the "
+             "sample queue (best for deep-bounce scenes, e.g. LightTest)",
+    )
+    p.add_argument(
+        "--lanes", type=int, default=None,
+        help="lane-pool size for --regen (default min(total, 2^20))",
+    )
+    p.add_argument(
         "--rebuild-bvh", action="store_true",
         help="rebuild the acceleration structure every animation frame "
              "(BASELINE SphereField config; the reference builds once)",
@@ -159,6 +168,12 @@ def main(argv=None) -> int:
 
                     img, stats = render_radiance_sharded(
                         scene, cam, settings, key, mesh
+                    )
+                elif args.regen:
+                    from rust_pathtracer_tpu.wavefront import render_radiance_regen
+
+                    img, stats = render_radiance_regen(
+                        scene, cam, settings, key, lanes=args.lanes
                     )
                 elif args.checkpoint and frames == 1:
                     from rust_pathtracer_tpu.utils.checkpoint import (

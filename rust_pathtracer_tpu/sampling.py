@@ -38,9 +38,13 @@ def lane_keys(base_key, counters):
 
 
 def bounce_keys(lkeys, bounce, purpose):
-    """Fold (bounce, purpose) into per-lane keys."""
+    """Fold (bounce, purpose) into per-lane keys. ``bounce`` may be a
+    scalar (chunked wavefront) or a per-lane array (regeneration
+    wavefront, where every lane sits at its own path depth); the same
+    (key, bounce, purpose) always yields the same draw either way."""
     tag = bounce * _STRIDE + purpose
-    return jax.vmap(jax.random.fold_in, in_axes=(0, None))(lkeys, tag)
+    in_axes = (0, 0) if jnp.ndim(tag) else (0, None)
+    return jax.vmap(jax.random.fold_in, in_axes=in_axes)(lkeys, tag)
 
 
 def _uniforms(keys, n):

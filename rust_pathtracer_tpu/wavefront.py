@@ -1,0 +1,178 @@
+"""Regeneration wavefront renderer (path-regeneration queues).
+
+The chunked renderer (render.py) traces width*height*spp_chunk lanes in
+lockstep until ALL of them die: in deep-bounce scenes with a black
+background (LightTest: max 50 bounces, measured occupancy 5% after two
+bounces) the tail wastes >90% of the vector unit.
+
+This renderer is the TPU-shaped version of GPU "stream-compacted
+bounce queues": a fixed pool of lanes stays ~100% occupied because a
+lane that terminates is immediately REFILLED with the next
+(pixel, sample) item from the global work queue — static shapes, no
+scatter/compact of live state, just an exclusive cumsum to hand out
+fresh work ids and one scatter-add to flush finished radiance into the
+per-pixel accumulator.
+
+RNG consistency: a work item's lane key is derived from the same
+(pixel * spp + sample) counter and per-(bounce, purpose) fold as the
+chunked renderer, and each lane tracks its own path depth — so every
+path computes the SAME radiance in either mode; only the f32
+accumulation order differs (images agree to ~1e-6).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rust_pathtracer_tpu import sampling
+from rust_pathtracer_tpu import vecmath as vm
+from rust_pathtracer_tpu.camera import Camera, camera_rays
+from rust_pathtracer_tpu.integrator import (
+    MAX_BOUNCE_STATS,
+    T_MIN,
+    TraceStats,
+    _find_hit,
+)
+from rust_pathtracer_tpu.materials import emitted, scatter
+from rust_pathtracer_tpu.ops.intersect import hit_record
+from rust_pathtracer_tpu.render import RenderSettings
+
+
+def render_radiance_regen(
+    scene,
+    cam: Camera,
+    settings: RenderSettings,
+    key,
+    lanes: int | None = None,
+):
+    """Linear radiance image via the regeneration wavefront.
+
+    Returns ((H, W, 3) image, TraceStats).  Equivalent estimator to
+    render_radiance (same per-path RNG); accumulation order differs.
+    """
+    width, height = settings.width, settings.height
+    spp = settings.samples_per_pixel
+    max_bounces = settings.max_bounces
+    npix = width * height
+    total = npix * spp
+    if lanes is None:
+        lanes = min(total, 1 << 20)
+    lanes = int(min(lanes, total))
+    if lanes <= 0:
+        raise ValueError(f"lane pool must be positive, got {lanes}")
+    bg = jnp.asarray(settings.background, jnp.float32)
+
+    def spawn(work_id):
+        """Camera rays + keys for (clipped) work ids."""
+        wid = jnp.maximum(work_id, 0).astype(jnp.uint32)
+        pixel = wid % np.uint32(npix)
+        sample = wid // np.uint32(npix)
+        counter = pixel * np.uint32(spp) + sample  # render.py convention
+        lkeys = sampling.lane_keys(key, counter)
+        jit_u = sampling.uniform2(
+            sampling.bounce_keys(lkeys, 0, sampling.P_PIXEL_JITTER)
+        )
+        col = (pixel % np.uint32(width)).astype(jnp.float32)
+        row = pixel // np.uint32(width)
+        y = (height - 1 - row).astype(jnp.float32)
+        u = (col + jit_u[:, 0]) / (width - 1.0)
+        v = (y + jit_u[:, 1]) / (height - 1.0)
+        lens = sampling.bounce_keys(lkeys, 0, sampling.P_LENS)
+        o, d = camera_rays(cam, u, v, lens)
+        return pixel.astype(jnp.int32), lkeys, o, d
+
+    # initial fill
+    init_work = jnp.arange(lanes, dtype=jnp.int32)
+    pixel0, lkeys0, o0, d0 = spawn(init_work)
+
+    state = dict(
+        work=init_work,                               # -1 => lane retired
+        pixel=pixel0,
+        lkeys=lkeys0,
+        o=o0,
+        d=d0,
+        thr=jnp.ones((lanes, 3), jnp.float32),
+        rad=jnp.zeros((lanes, 3), jnp.float32),
+        depth=jnp.zeros(lanes, jnp.int32),
+        alive=init_work < total,
+        issued=jnp.int32(lanes),
+        acc=jnp.zeros((npix, 3), jnp.float32),
+        segments=jnp.float32(0.0),
+        iters=jnp.int32(0),
+    )
+
+    def cond(s):
+        return jnp.any(s["alive"])
+
+    def body(s):
+        o, d, thr, rad = s["o"], s["d"], s["thr"], s["rad"]
+        alive, depth, lkeys = s["alive"], s["depth"], s["lkeys"]
+        segments = s["segments"] + jnp.sum(alive.astype(jnp.float32))
+
+        hit_mask, t, idx = _find_hit(scene, o, d, False)
+        hit_mask = hit_mask & alive
+        rec = hit_record(scene.prims, idx, o, d, t, hit_mask,
+                         prim_types=scene.prim_types)
+
+        miss = alive & ~hit_mask
+        rad = rad + jnp.where(miss[..., None], thr * bg, 0.0)
+        em = emitted(scene, rec)
+        rad = rad + jnp.where(hit_mask[..., None], thr * em, 0.0)
+
+        # per-lane path depth drives the RNG fold (matches chunked mode)
+        sphere_dir = sampling.on_unit_sphere(
+            sampling.bounce_keys(lkeys, depth, sampling.P_LAMBERT))
+        ball_dir = sampling.in_unit_sphere(
+            sampling.bounce_keys(lkeys, depth, sampling.P_FUZZ))
+        coin = sampling.uniform(
+            sampling.bounce_keys(lkeys, depth, sampling.P_SCHLICK))
+        sc = scatter(scene, rec, d, sphere_dir, ball_dir, coin)
+
+        depth = depth + alive.astype(jnp.int32)
+        cont = hit_mask & sc.did_scatter & (depth < max_bounces)
+        thr = jnp.where(cont[..., None], thr * sc.attenuation, thr)
+        o = vm.where(cont, rec.point, o)
+        d = vm.where(cont, sc.direction, d)
+
+        # ---- flush + regenerate terminated lanes -----------------------
+        finished = alive & ~cont
+        acc = s["acc"].at[jnp.where(finished, s["pixel"], 0)].add(
+            jnp.where(finished[..., None], rad, 0.0)
+        )
+
+        issued = s["issued"]
+        cand = finished.astype(jnp.int32)
+        slot = jnp.cumsum(cand) - cand  # exclusive prefix sum: queue slots
+        new_work = issued + slot
+        take = finished & (new_work < total)
+        new_work = jnp.where(take, new_work, -1)
+        issued = issued + jnp.minimum(jnp.sum(cand), total - issued)
+
+        pixel_n, lkeys_n, o_n, d_n = spawn(new_work)
+        pixel = jnp.where(take, pixel_n, s["pixel"])
+        lkeys = jnp.where(take[:, None], lkeys_n, lkeys)
+        o = vm.where(take, o_n, o)
+        d = vm.where(take, d_n, d)
+        thr = vm.where(take, jnp.ones_like(thr), thr)
+        rad = vm.where(take, jnp.zeros_like(rad), rad)
+        depth = jnp.where(take, 0, depth)
+        work = jnp.where(take, new_work, jnp.where(finished, -1, s["work"]))
+        alive = cont | take
+
+        return dict(
+            work=work, pixel=pixel, lkeys=lkeys, o=o, d=d, thr=thr, rad=rad,
+            depth=depth, alive=alive, issued=issued, acc=acc,
+            segments=segments, iters=s["iters"] + 1,
+        )
+
+    state = jax.lax.while_loop(cond, body, state)
+
+    img = (state["acc"] / jnp.float32(spp)).reshape(height, width, 3)
+    stats = TraceStats(
+        segments=state["segments"],
+        bounces=state["iters"],
+        occupancy=jnp.zeros((MAX_BOUNCE_STATS,), jnp.float32),
+    )
+    return img, stats

@@ -1,0 +1,60 @@
+"""Regeneration wavefront vs the chunked renderer.
+
+Same per-path RNG => same estimator; images agree to fp-reassociation
+noise (CornellBox reproduces bitwise on CPU; a few paths may diverge
+by 1-ulp t differences between the two compiled programs).
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from rust_pathtracer_tpu.models import get_scene
+from rust_pathtracer_tpu.render import RenderSettings, render_radiance
+from rust_pathtracer_tpu.wavefront import render_radiance_regen
+
+KEY = jax.random.PRNGKey(7)
+
+
+@pytest.mark.parametrize(
+    "name,bg",
+    [("CornellBox", (0.0, 0.0, 0.0)), ("LightTest", (0.0, 0.0, 0.0)),
+     ("TwoSphereCheckers", (1.0, 1.0, 1.0))],
+)
+def test_regen_matches_chunked(name, bg):
+    sd = get_scene(name)
+    scene = sd.build()
+    cam = sd.camera_at(0.0)
+    s = RenderSettings(20, 20, 12, 10, bg)
+    a, sa = render_radiance(scene, cam, s, KEY)
+    b, sb = render_radiance_regen(scene, cam, s, KEY, lanes=1024)
+    a, b = np.asarray(a), np.asarray(b)
+    assert np.abs(a - b).mean() < 1e-5
+    assert np.abs(a - b).max() < 5e-3
+    # segment counts agree to the handful of ulp-divergent paths
+    assert abs(float(sa.segments) - float(sb.segments)) <= 0.001 * float(sa.segments)
+
+
+def test_regen_small_pool_multiple_refills():
+    # pool much smaller than the queue: every lane refills many times
+    sd = get_scene("CornellBox")
+    scene = sd.build()
+    cam = sd.camera_at(0.0)
+    s = RenderSettings(8, 8, 32, 8, (0.0, 0.0, 0.0))
+    a, _ = render_radiance(scene, cam, s, KEY)
+    b, stats = render_radiance_regen(scene, cam, s, KEY, lanes=128)
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() < 5e-3
+    # 8*8*32 = 2048 samples through 128 lanes => >= 16 refination rounds
+    assert int(stats.bounces) >= 16
+
+
+def test_regen_pool_larger_than_queue():
+    sd = get_scene("CornellBox")
+    scene = sd.build()
+    cam = sd.camera_at(0.0)
+    s = RenderSettings(6, 6, 2, 4, (0.0, 0.0, 0.0))
+    a, _ = render_radiance(scene, cam, s, KEY)
+    b, _ = render_radiance_regen(scene, cam, s, KEY, lanes=4096)
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() < 5e-3
