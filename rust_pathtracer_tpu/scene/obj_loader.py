@@ -203,7 +203,9 @@ def write_test_obj(path: str, with_mtl: bool = True) -> None:
         )
         if with_mtl:
             f.write("usemtl shiny\n")
+        # windings chosen so (p2-p1)x(p3-p1) points OUTWARD on every
+        # face — one-sided triangles make inward-wound boxes ray traps
         f.write(
-            "f 6 7 8 9\nf 10 13 12 11\nf 6 9 13 10\nf 7 11 12 8\n"
-            "f 9 8 12 13\nf 6 10 11 7\n"
+            "f 6 9 8 7\nf 10 11 12 13\nf 6 7 11 10\nf 9 13 12 8\n"
+            "f 6 10 13 9\nf 7 8 12 11\n"
         )
