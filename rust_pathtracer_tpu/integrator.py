@@ -107,11 +107,26 @@ def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
         occupancy, n_alive[None], (jnp.minimum(bounce, MAX_BOUNCE_STATS - 1),)
     )
 
-    hit_mask, t, idx = _find_hit(scene, o, d, differentiable)
-    hit_mask = hit_mask & alive
-    rec = hit_record(
-        scene.prims, idx, o, d, t, hit_mask, prim_types=scene.prim_types
-    )
+    # fused Pallas search+record on the forward path (small scenes, TPU)
+    use_fused = False
+    if not differentiable and scene.bvh is None and scene.kinds_static is not None:
+        from rust_pathtracer_tpu.ops.pallas_intersect import pallas_available
+
+        use_fused = pallas_available()
+    if use_fused:
+        from rust_pathtracer_tpu.ops.pallas_intersect import (
+            closest_hit_record_pallas,
+        )
+
+        hit_mask, t, idx, rec = closest_hit_record_pallas(scene, o, d, T_MIN)
+        hit_mask = hit_mask & alive
+        rec = rec._replace(valid=hit_mask)
+    else:
+        hit_mask, t, idx = _find_hit(scene, o, d, differentiable)
+        hit_mask = hit_mask & alive
+        rec = hit_record(
+            scene.prims, idx, o, d, t, hit_mask, prim_types=scene.prim_types
+        )
 
     # miss -> background, weighted by throughput (ray.rs:40)
     miss = alive & ~hit_mask

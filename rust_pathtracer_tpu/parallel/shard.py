@@ -19,6 +19,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from rust_pathtracer_tpu.camera import Camera
@@ -59,8 +60,18 @@ def render_radiance_sharded(
         settings.background if background is None else background, jnp.float32
     )
 
-    def tile_body(scene, cam, key, bg, pix):
-        # pix: this device's pixel ids, shape (npix_pad / n_tiles,)
+    pix_per_tile = npix_pad // n_tiles
+
+    def tile_body(scene, cam, key, bg):
+        # derive this device's pixel ids from its mesh coordinate — no
+        # sharded input arrays, so the same code runs under multi-host
+        # jax.distributed without host-local/global array conversions.
+        # padded ids wrap to pixel 0 harmlessly and are cropped later.
+        tile = jax.lax.axis_index(TILE_AXIS).astype(jnp.uint32)
+        pix = (
+            tile * np.uint32(pix_per_tile)
+            + jnp.arange(pix_per_tile, dtype=jnp.uint32)
+        ) % np.uint32(npix)
         s_group = jax.lax.axis_index(SAMPLE_AXIS)
         base = (s_group * spp_shard).astype(jnp.uint32)
         acc = jnp.zeros((pix.shape[0], 3), jnp.float32)
@@ -94,20 +105,20 @@ def render_radiance_sharded(
         occupancy = jax.lax.psum(occupancy, (SAMPLE_AXIS, TILE_AXIS))
         return acc, segments, bounces, occupancy
 
-    shard_fn = jax.jit(
-        jax.shard_map(
-            tile_body,
-            mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P(TILE_AXIS)),
-            out_specs=(P(TILE_AXIS), P(), P(), P()),
-        )
+    mapped = jax.shard_map(
+        tile_body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(TILE_AXIS), P(), P(), P()),
     )
 
-    # pad pixel ids; padded lanes render pixel 0 harmlessly and are cropped
-    pix = jnp.arange(npix_pad, dtype=jnp.uint32) % jnp.uint32(npix)
-    acc, segments, bounces, occupancy = shard_fn(scene, cam, key, bg, pix)
+    @jax.jit
+    def run(scene, cam, key, bg):
+        acc, segments, bounces, occupancy = mapped(scene, cam, key, bg)
+        # padded sample range: lanes with sample_id >= spp are masked
+        # inside trace_pixel_lanes, so the sum is exact.
+        img = (acc[:npix] / jnp.float32(spp)).reshape(height, width, 3)
+        return img, segments, bounces, occupancy
 
-    img = (acc[:npix] / jnp.float32(spp)).reshape(height, width, 3)
-    # padded sample range: lanes with sample_id >= spp are masked inside
-    # trace_pixel_lanes, so the sum is exact.
+    img, segments, bounces, occupancy = run(scene, cam, key, bg)
     return img, TraceStats(segments=segments, bounces=bounces, occupancy=occupancy)

@@ -59,3 +59,35 @@ def test_bvh_scene_has_no_static_kinds():
     scene = get_scene("SphereField").build()
     assert scene.bvh is not None
     assert scene.kinds_static is None
+
+
+def test_fused_record_kernel_matches_hit_record():
+    from rust_pathtracer_tpu.ops.intersect import hit_record
+    from rust_pathtracer_tpu.ops.pallas_intersect import closest_hit_record_pallas
+
+    scene = get_scene("CornellBox").build()
+    rng = np.random.default_rng(5)
+    R = 1500
+    o = jnp.asarray(rng.uniform(0, 555, (R, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(R, 3)), jnp.float32)
+    h1, t1, i1 = closest_hit_brute(
+        scene.prims, o, d, 1e-3, 1e30, prim_types=scene.prim_types
+    )
+    rec1 = hit_record(scene.prims, i1, o, d, jnp.where(h1, t1, 1.0), h1,
+                      scene.prim_types)
+    h2, t2, i2, rec2 = closest_hit_record_pallas(scene, o, d, 1e-3, interpret=True)
+    hm = np.asarray(h1)
+    assert np.array_equal(np.asarray(h1), np.asarray(h2))
+    assert np.array_equal(np.asarray(i1)[hm], np.asarray(i2)[hm])
+    assert np.allclose(np.asarray(rec1.u)[hm], np.asarray(rec2.u)[hm], atol=1e-5)
+    assert np.allclose(np.asarray(rec1.v)[hm], np.asarray(rec2.v)[hm], atol=1e-5)
+    assert np.allclose(
+        np.asarray(rec1.normal)[hm], np.asarray(rec2.normal)[hm], atol=2e-5
+    )
+    assert np.array_equal(
+        np.asarray(rec1.front_face)[hm], np.asarray(rec2.front_face)[hm]
+    )
+    assert np.array_equal(np.asarray(rec1.mat)[hm], np.asarray(rec2.mat)[hm])
+    assert np.allclose(
+        np.asarray(rec1.point)[hm], np.asarray(rec2.point)[hm], rtol=1e-4, atol=1e-2
+    )
