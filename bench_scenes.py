@@ -1,0 +1,97 @@
+"""Per-scene benchmarks at the BASELINE.json judging configs.
+
+  TwoSpheres:  400x225,  64 spp, max depth 8
+  LightTest:   512x512, 256 spp
+  CornellBox:  512x512, 1024 spp
+  ModelTest:   512x512, 256 spp (OBJ mesh)
+  SphereField: 1280x720, 512 spp, BVH rebuild per frame
+
+Prints one JSON line per scene: wall-clock for the full-quality frame
+and achieved rays/s.  Use --quick to divide spp by 16 for smoke runs.
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="spp / 16")
+    ap.add_argument("--scene", action="append", help="subset of scenes")
+    ap.add_argument("--regen", action="store_true",
+                    help="use the regeneration wavefront renderer")
+    args = ap.parse_args()
+
+    from rust_pathtracer_tpu.utils import compcache
+
+    compcache.enable()
+
+    import jax
+
+    from rust_pathtracer_tpu.models import get_scene
+    from rust_pathtracer_tpu.render import RenderSettings, render_radiance
+    from rust_pathtracer_tpu.scene.obj_loader import write_test_obj
+    from rust_pathtracer_tpu.wavefront import render_radiance_regen
+
+    objp = os.path.join(tempfile.mkdtemp(), "model.obj")
+    write_test_obj(objp)
+
+    # (name, kwargs, width, height, spp, bounces, rebuild_bvh)
+    configs = [
+        ("TwoSphereCheckers", {}, 400, 225, 64, 8, False),
+        ("LightTest", {}, 512, 512, 256, 50, False),
+        ("CornellBox", {}, 512, 512, 1024, 20, False),
+        ("ModelTest", {"obj_path": objp}, 512, 512, 256, 20, False),
+        ("SphereField", {}, 1280, 720, 512, 20, True),
+    ]
+    key = jax.random.PRNGKey(0)
+
+    for name, kwargs, w, h, spp, bounces, rebuild in configs:
+        if args.scene and name not in args.scene:
+            continue
+        sd = get_scene(name, **kwargs)
+        if args.quick:
+            spp = max(1, spp // 16)
+        settings = RenderSettings(
+            w, h, spp, bounces, sd.output.image.background, spp_chunk=4
+        )
+        scene = sd.build()
+        cam = sd.camera_at(0.0)
+        render = render_radiance_regen if args.regen else render_radiance
+
+        # compile warmup at 4 spp (same chunk shape as the full run)
+        warm = RenderSettings(w, h, 4, bounces, sd.output.image.background, spp_chunk=4)
+        img, _ = render(scene, cam, warm, key)
+        img.block_until_ready()
+
+        t0 = time.perf_counter()
+        if rebuild:
+            scene = sd.build()  # per-frame BVH/scene rebuild, timed
+        img, stats = render(scene, cam, settings, key)
+        img.block_until_ready()
+        dt = time.perf_counter() - t0
+        rays = float(stats.segments)
+        print(
+            json.dumps(
+                {
+                    "metric": f"{name} {w}x{h}@{spp}spp frame",
+                    "value": dt,
+                    "unit": "s",
+                    "vs_baseline": rays / dt / 8.0e6,  # rays/s over ref estimate
+                }
+            ),
+            flush=True,
+        )
+        print(
+            f"# {name}: {rays:.3g} segments, {rays/dt/1e6:.1f} Mrays/s",
+            file=sys.stderr,
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

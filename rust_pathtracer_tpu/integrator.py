@@ -109,7 +109,7 @@ def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
 
     # fused Pallas search+record on the forward path (small scenes, TPU)
     use_fused = False
-    if not differentiable and scene.bvh is None and scene.kinds_static is not None:
+    if not differentiable and scene.kinds_static is not None:
         from rust_pathtracer_tpu.ops.pallas_intersect import pallas_available
 
         use_fused = pallas_available()

@@ -180,6 +180,44 @@ def aabb_hit(bbox_min, bbox_max, o, inv_d, t_min, t_max):
     return tmax_acc > tmin_acc
 
 
+def closest_hit_brute_chunked(
+    prims: Primitives, o, d, t_min, t_max, prim_types=None, chunk: int = 512
+):
+    """Dense sweep in primitive blocks of ``chunk``: bounds peak memory
+    to (R, chunk) and keeps everything gather-free.  The TPU path for
+    scenes too large to unroll in the Pallas sweep — per-lane BVH
+    traversal gathers are pathological on TPU (device faults observed),
+    while a dense 10k-primitive sweep is a regular VPU workload."""
+    num = prims.kind.shape[0]
+    nchunks = -(-num // chunk)
+    pad = nchunks * chunk - num
+    kind = jnp.pad(prims.kind, (0, pad), constant_values=-1)
+    aux = jnp.pad(prims.aux, (0, pad))
+    data = jnp.pad(prims.data, ((0, pad), (0, 0)))
+
+    ob = o[..., None, :]
+    db = d[..., None, :]
+    best_t = jnp.full(o.shape[:-1], T_MISS, jnp.float32)
+    best_i = jnp.full(o.shape[:-1], -1, jnp.int32)
+
+    def body(c, carry):
+        best_t, best_i = carry
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, c * chunk, chunk)
+        t, valid = prim_intersect_t(
+            sl(kind), sl(aux), sl(data), ob, db, t_min, t_max, prim_types
+        )  # (R, chunk)
+        ci = jnp.argmin(t, axis=-1).astype(jnp.int32)
+        ct = jnp.min(t, axis=-1)
+        upd = jnp.any(valid, axis=-1) & (ct < best_t)
+        best_t = jnp.where(upd, ct, best_t)
+        best_i = jnp.where(upd, c * chunk + ci, best_i)
+        return best_t, best_i
+
+    best_t, best_i = jax.lax.fori_loop(0, nchunks, body, (best_t, best_i))
+    hit = best_i >= 0
+    return hit, jnp.where(hit, best_t, T_MISS), jnp.maximum(best_i, 0)
+
+
 def closest_hit_brute(prims: Primitives, o, d, t_min, t_max, prim_types=None):
     """Closest hit by dense sweep over all P primitives.
 
@@ -321,15 +359,27 @@ def closest_hit(scene, o, d, t_min, t_max):
     Returns (hit, t, idx)."""
     from rust_pathtracer_tpu.ops.bvh_traverse import closest_hit_bvh
 
-    if scene.bvh is None:
-        if scene.kinds_static is not None:
-            from rust_pathtracer_tpu.ops.pallas_intersect import (
-                closest_hit_pallas,
-                pallas_available,
-            )
+    # On TPU the unrolled Pallas sweep beats gather-based BVH traversal
+    # up to ~600 primitives, so it takes priority whenever the static
+    # kind table exists (even if a BVH was built for the CPU path).
+    if scene.kinds_static is not None:
+        from rust_pathtracer_tpu.ops.pallas_intersect import (
+            closest_hit_pallas,
+            pallas_available,
+        )
 
-            if pallas_available():
-                return closest_hit_pallas(scene, o, d, t_min)
+        if pallas_available():
+            return closest_hit_pallas(scene, o, d, t_min)
+    else:
+        # big scene on TPU: chunked dense sweep (BVH traversal's
+        # per-lane gathers fault/stall the device)
+        import jax as _jax
+
+        if _jax.default_backend() == "tpu":
+            return closest_hit_brute_chunked(
+                scene.prims, o, d, t_min, t_max, prim_types=scene.prim_types
+            )
+    if scene.bvh is None:
         return closest_hit_brute(
             scene.prims, o, d, t_min, t_max, prim_types=scene.prim_types
         )

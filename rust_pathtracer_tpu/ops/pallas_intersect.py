@@ -42,7 +42,7 @@ from rust_pathtracer_tpu.ops.intersect import T_MISS, TRI_DET_EPS
 from rust_pathtracer_tpu.scene.types import PRIM_RECT, PRIM_SPHERE, PRIM_TRIANGLE
 
 BLOCK_ROWS = 8          # rays per grid step = BLOCK_ROWS * 128
-MAX_PALLAS_PRIMS = 128  # beyond this, BVH wins anyway
+MAX_PALLAS_PRIMS = 600  # beyond this, clustered/BVH kernels win
 
 # rect fixed axis -> the two free axes in ascending order (types.py)
 _RECT_FREE = {0: (1, 2), 1: (0, 2), 2: (0, 1)}
@@ -147,12 +147,13 @@ def _closest_hit_pallas(packed, o, d, *, kinds, t_min, interpret=False):
     ray_spec = pl.BlockSpec(
         (BLOCK_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
+    tab_space = pltpu.SMEM if packed.shape[1] <= 128 else pltpu.VMEM
     t, idx = pl.pallas_call(
         functools.partial(_kernel, kinds, t_min),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                packed.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
+                packed.shape, lambda i: (0, 0), memory_space=tab_space
             ),
         ] + [ray_spec] * 6,
         out_specs=(ray_spec, ray_spec),
@@ -185,7 +186,7 @@ def pack_prims(prims):
 # ---------------------------------------------------------------------------
 def _kernel_shade(kinds, t_min, prim_ref, ox_ref, oy_ref, oz_ref, dx_ref,
                   dy_ref, dz_ref, t_ref, idx_ref, nx_ref, ny_ref, nz_ref,
-                  u_ref, v_ref, front_ref, mat_ref):
+                  u_ref, v_ref, front_ref, mat_ref, kind_ref):
     """Sweep + full HitRecord payload in one kernel.
 
     Per-primitive quantities (outward normal, rect uv) are accumulated
@@ -283,27 +284,21 @@ def _kernel_shade(kinds, t_min, prim_ref, ox_ref, oy_ref, oz_ref, dx_ref,
         wv = jnp.where(upd, v, wv)
         wmat = jnp.where(upd, prim_ref[14, p], wmat)
 
-    # post-pass: sphere UV once per lane (geometry.rs:120-128)
-    is_sphere = wkind == PRIM_SPHERE
-    theta = jnp.arccos(jnp.clip(-wny, -1.0, 1.0))
-    phi = jnp.arctan2(-wnz, jnp.where(is_sphere, wnx, 1.0)) + np.float32(np.pi)
-    wu = jnp.where(is_sphere, phi * np.float32(0.5 / np.pi), wu)
-    wv = jnp.where(is_sphere, theta * np.float32(1.0 / np.pi), wv)
-
-    # front-face flip (geometry.rs:29-41)
+    # sphere UV needs acos/atan2, which Mosaic does not lower — the
+    # XLA epilogue computes it from the OUTWARD (pre-flip) normal.
     front = dx * wnx + dy * wny + dz * wnz < 0.0
-    flip = jnp.where(front, 1.0, -1.0)
 
     hit = best_i >= 0
     t_ref[:] = jnp.where(hit, best_t, 1.0)  # finite t for miss lanes
     idx_ref[:] = best_i
-    nx_ref[:] = wnx * flip
-    ny_ref[:] = wny * flip
-    nz_ref[:] = wnz * flip
+    nx_ref[:] = wnx  # outward, unflipped
+    ny_ref[:] = wny
+    nz_ref[:] = wnz
     u_ref[:] = wu
     v_ref[:] = wv
     front_ref[:] = front.astype(jnp.float32)
     mat_ref[:] = wmat
+    kind_ref[:] = wkind.astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("kinds", "t_min", "interpret"))
@@ -326,21 +321,34 @@ def _closest_hit_record_pallas(packed, o, d, *, kinds, t_min, interpret=False):
     )
     f32 = jax.ShapeDtypeStruct((rows, 128), jnp.float32)
     i32 = jax.ShapeDtypeStruct((rows, 128), jnp.int32)
+    tab_space = pltpu.SMEM if packed.shape[1] <= 128 else pltpu.VMEM
     outs = pl.pallas_call(
         functools.partial(_kernel_shade, kinds, t_min),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                packed.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
+                packed.shape, lambda i: (0, 0), memory_space=tab_space
             ),
         ] + [ray_spec] * 6,
-        out_specs=(ray_spec,) * 9,
-        out_shape=(f32, i32, f32, f32, f32, f32, f32, f32, f32),
+        out_specs=(ray_spec,) * 10,
+        out_shape=(f32, i32, f32, f32, f32, f32, f32, f32, f32, f32),
         interpret=interpret,
     )(packed, *planes)
-    t, idx, nx, ny, nz, u, v, front, mat = (x.reshape(-1)[:R] for x in outs)
+    t, idx, nx, ny, nz, u, v, front, mat, wkind = (
+        x.reshape(-1)[:R] for x in outs
+    )
+    front = front > 0.5
+    # epilogue: sphere UV from the outward normal (geometry.rs:120-128)
+    is_sphere = wkind == float(PRIM_SPHERE)
+    theta = jnp.arccos(jnp.clip(-ny, -1.0, 1.0))
+    phi = jnp.arctan2(-nz, jnp.where(is_sphere, nx, 1.0)) + np.float32(np.pi)
+    u = jnp.where(is_sphere, phi * np.float32(0.5 / np.pi), u)
+    v = jnp.where(is_sphere, theta * np.float32(1.0 / np.pi), v)
+    # front-face flip (geometry.rs:29-41)
+    flip = jnp.where(front, 1.0, -1.0)
     hit = idx >= 0
-    return hit, t, jnp.maximum(idx, 0), nx, ny, nz, u, v, front > 0.5, mat
+    return (hit, t, jnp.maximum(idx, 0), nx * flip, ny * flip, nz * flip,
+            u, v, front, mat)
 
 
 def closest_hit_record_pallas(scene, o, d, t_min, interpret=False):

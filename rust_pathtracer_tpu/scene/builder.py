@@ -358,11 +358,15 @@ class SceneBuilder:
             prim_types=tuple(sorted(set(int(k) for k in prim_kind))),
             tex_types=tuple(sorted(set(self._tex_kind))) if self._tex_kind else (),
             mat_types=tuple(sorted(set(self._mat_kind))),
+            # static per-prim types enable the unrolled Pallas sweep; on
+            # TPU the sweep beats gather-based BVH traversal up to
+            # several hundred primitives, so keep it available even for
+            # BVH-carrying scenes (closest_hit picks per backend)
             kinds_static=(
                 tuple(
                     (int(k), int(a)) for k, a in zip(prim_kind, prim_aux)
                 )
-                if (not use_bvh and len(prim_kind) <= 128)
+                if len(prim_kind) <= 600
                 else None
             ),
             prims=Primitives(

@@ -55,10 +55,12 @@ def test_pallas_matches_jnp_mixed_types():
     _compare(scene, o, d)
 
 
-def test_bvh_scene_has_no_static_kinds():
+def test_mid_size_scene_keeps_static_kinds_alongside_bvh():
+    # SphereField (514 prims) carries BOTH: a BVH for the CPU path and
+    # the static kind table for the TPU Pallas sweep
     scene = get_scene("SphereField").build()
     assert scene.bvh is not None
-    assert scene.kinds_static is None
+    assert scene.kinds_static is not None and len(scene.kinds_static) == scene.num_prims
 
 
 def test_fused_record_kernel_matches_hit_record():
