@@ -34,11 +34,11 @@ def main():
 
     from rust_pathtracer_tpu.models import get_scene
     from rust_pathtracer_tpu.render import RenderSettings, render_radiance
-    from rust_pathtracer_tpu.scene.obj_loader import write_test_obj
+    from rust_pathtracer_tpu.scene.obj_loader import write_benchmark_obj
     from rust_pathtracer_tpu.wavefront import render_radiance_regen
 
     objp = os.path.join(tempfile.mkdtemp(), "model.obj")
-    write_test_obj(objp)
+    write_benchmark_obj(objp)  # ~10k triangles, realistic ModelTest scale
 
     # (name, kwargs, width, height, spp, bounces, rebuild_bvh)
     configs = [

@@ -103,9 +103,12 @@ def trace_pixel_lanes(
     s_local = np.arange(spp_chunk, dtype=np.uint32)
     # lane counter = pixel * spp_total + sample  -> layout-invariant RNG:
     # the same (pixel, sample) draws the same numbers no matter how the
-    # work is chunked or sharded
+    # work is chunked or sharded.  spp_total may be traced (dynamic) —
+    # keeping it out of the compile key lets one compiled integrator
+    # serve every sample count.
+    spp_total = jnp.uint32(spp_total)
     counters = (
-        pix[:, None] * np.uint32(spp_total) + (sample_offset + s_local)[None, :]
+        pix[:, None] * spp_total + (sample_offset + s_local)[None, :]
     ).reshape(-1)
     lkeys = sampling.lane_keys(base_key, counters)
 
@@ -141,7 +144,7 @@ def trace_pixel_lanes(
 @partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "spp_chunk", "spp_total", "max_bounces", "rr_start",
+        "width", "height", "spp_chunk", "max_bounces", "rr_start",
         "differentiable",
     ),
 )

@@ -19,7 +19,6 @@ from typing import List, Optional, Sequence, Union
 import numpy as np
 import jax.numpy as jnp
 
-from rust_pathtracer_tpu import perlin as perlin_mod
 from rust_pathtracer_tpu.bvh import build_bvh
 from rust_pathtracer_tpu.scene.types import (
     BvhArrays,
@@ -405,7 +404,7 @@ class SceneBuilder:
                 ),
                 images=jnp.asarray(images),
                 image_hw=jnp.asarray(image_hw),
-                perm=jnp.asarray(perlin_mod.permutation_table(self.perlin_seed)),
+                perlin_seed=jnp.asarray(self.perlin_seed, jnp.uint32),
             ),
             bvh=bvh_arrays,
         )

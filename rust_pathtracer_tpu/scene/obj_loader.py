@@ -209,3 +209,106 @@ def write_test_obj(path: str, with_mtl: bool = True) -> None:
             "f 6 9 8 7\nf 10 11 12 13\nf 6 7 11 10\nf 9 13 12 8\n"
             "f 6 10 13 9\nf 7 8 12 11\n"
         )
+
+
+def write_benchmark_obj(
+    path: str, rows: int = 71, cols: int = 72, with_mtl: bool = True
+) -> int:
+    """Emit a ~10k-triangle displaced-sphere "rock" for ModelTest-scale
+    benchmarking (the reference's ModelTest loads an arbitrary user
+    ``model.obj``, main.rs:20-22; this provides a reproducible asset of
+    realistic size).  2*cols*(rows-1) one-sided triangles, all wound
+    outward (the det<1e-4 cull, geometry.rs:526, makes inward-wound
+    closed meshes ray traps), with smooth per-vertex normals.
+
+    Returns the triangle count.
+    """
+    cy, base_r = 1.5, 1.3
+    theta = np.linspace(0.0, np.pi, rows + 1)  # 0 = top pole
+    phi = np.linspace(0.0, 2 * np.pi, cols, endpoint=False)
+
+    def radius(t, p):
+        return base_r * (
+            1.0
+            + 0.14 * np.sin(5 * t) * np.sin(4 * p)
+            + 0.07 * np.sin(9 * t + 1.3) * np.sin(7 * p + 0.7)
+            + 0.04 * np.sin(13 * t + 2.1) * np.cos(11 * p)
+        )
+
+    def vert(t, p):
+        r = radius(t, p)
+        return np.array(
+            [r * np.sin(t) * np.cos(p), cy + r * np.cos(t), r * np.sin(t) * np.sin(p)]
+        )
+
+    verts = [vert(0.0, 0.0)]  # top pole
+    for i in range(1, rows):
+        for j in range(cols):
+            verts.append(vert(theta[i], phi[j]))
+    verts.append(vert(np.pi, 0.0))  # bottom pole
+    verts = np.asarray(verts)
+    top, bot = 0, len(verts) - 1
+
+    def ring(i, j):  # i in [1, rows-1]
+        return 1 + (i - 1) * cols + (j % cols)
+
+    faces = []
+    for j in range(cols):
+        faces.append((top, ring(1, j), ring(1, j + 1)))
+        faces.append((bot, ring(rows - 1, j + 1), ring(rows - 1, j)))
+    for i in range(1, rows - 1):
+        for j in range(cols):
+            a, b = ring(i, j), ring(i, j + 1)
+            c, d = ring(i + 1, j), ring(i + 1, j + 1)
+            faces.append((a, c, b))
+            faces.append((b, c, d))
+
+    center = np.array([0.0, cy, 0.0])
+    fixed = []
+    for f in faces:
+        p1, p2, p3 = verts[f[0]], verts[f[1]], verts[f[2]]
+        n = np.cross(p2 - p1, p3 - p1)
+        if np.dot(n, (p1 + p2 + p3) / 3.0 - center) < 0:
+            f = (f[0], f[2], f[1])
+        fixed.append(f)
+    faces = fixed
+
+    # smooth vertex normals by area-weighted face accumulation
+    vnorm = np.zeros_like(verts)
+    for f in faces:
+        p1, p2, p3 = verts[f[0]], verts[f[1]], verts[f[2]]
+        n = np.cross(p2 - p1, p3 - p1)
+        for vi in f:
+            vnorm[vi] += n
+    vnorm /= np.maximum(np.linalg.norm(vnorm, axis=1, keepdims=True), 1e-12)
+
+    base = os.path.dirname(os.path.abspath(path))
+    os.makedirs(base, exist_ok=True)
+    stem = os.path.splitext(os.path.basename(path))[0]
+    mtl_name = stem + ".mtl"
+    if with_mtl:
+        with open(os.path.join(base, mtl_name), "w") as f:
+            f.write(
+                "newmtl rock\nKd 0.55 0.45 0.35\nNs 10.0\nNi 1.0\nillum 2\n"
+                "newmtl vein\nKd 0.85 0.8 0.7\nNs 40.0\nNi 1.0\nillum 5\n"
+            )
+    with open(path, "w") as f:
+        if with_mtl:
+            f.write(f"mtllib {mtl_name}\n")
+        for v in verts:
+            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for n in vnorm:
+            f.write(f"vn {n[0]:.6f} {n[1]:.6f} {n[2]:.6f}\n")
+        if with_mtl:
+            f.write("usemtl rock\n")
+        switched = False
+        for k, fa in enumerate(faces):
+            if with_mtl and not switched and k >= 9 * len(faces) // 10:
+                f.write("usemtl vein\n")  # exercise metal mapping at scale
+                switched = True
+            f.write(
+                "f {0}//{0} {1}//{1} {2}//{2}\n".format(
+                    fa[0] + 1, fa[1] + 1, fa[2] + 1
+                )
+            )
+    return len(faces)

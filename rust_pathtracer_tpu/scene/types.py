@@ -70,7 +70,7 @@ class Textures(NamedTuple):
     image_id: jnp.ndarray # int32[T]     row into `images`
     images: jnp.ndarray   # float32[I, H, W, 3] padded image stack (no ref counterpart)
     image_hw: jnp.ndarray # int32[I, 2]  valid (h, w) per image
-    perm: jnp.ndarray     # int32[512]   perlin permutation table
+    perlin_seed: jnp.ndarray  # uint32[] scalar perlin hash-stream seed
 
 
 class BvhArrays(NamedTuple):

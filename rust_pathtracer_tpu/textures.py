@@ -53,7 +53,7 @@ def eval_texture(textures: Textures, tex_id, u, v, point, tex_types=None):
         out = jnp.where((kind == TEX_SOLID)[..., None], color, out)
 
     if TEX_PERLIN in types:
-        gray = perlin_mod.marble(point, textures.perm, scale)
+        gray = perlin_mod.marble(point, textures.perlin_seed, scale)
         out = jnp.where((kind == TEX_PERLIN)[..., None], gray[..., None], out)
 
     if TEX_IMAGE in types:

@@ -91,3 +91,25 @@ def test_parse_mtl(tmp_path):
     assert m["a"]["ns"] == 25.0
     assert m["a"]["ni"] == 1.33
     assert m["a"]["illum"] == 5
+
+
+def test_benchmark_obj_scale_and_winding(tmp_path):
+    from rust_pathtracer_tpu.scene.obj_loader import (
+        parse_obj_arrays,
+        write_benchmark_obj,
+    )
+
+    p = str(tmp_path / "rock.obj")
+    n = write_benchmark_obj(p)
+    assert n >= 10000
+    tris, normals, *_ = parse_obj_arrays(p)
+    assert tris.shape == (n, 3, 3)
+    # every face wound outward (the one-sided cull, geometry.rs:526,
+    # must not hide the surface): geometric normal points away from
+    # the body center
+    geo = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    out = tris.mean(1) - np.array([0.0, 1.5, 0.0])
+    assert ((geo * out).sum(-1) > 0).all()
+    # smooth normals broadly agree with geometry
+    agree = (geo * normals).sum(-1)
+    assert (agree > 0).mean() > 0.99
