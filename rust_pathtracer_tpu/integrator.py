@@ -107,18 +107,31 @@ def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
         occupancy, n_alive[None], (jnp.minimum(bounce, MAX_BOUNCE_STATS - 1),)
     )
 
-    # fused Pallas search+record on the forward path (small scenes, TPU)
-    use_fused = False
-    if not differentiable and scene.kinds_static is not None:
+    # fused Pallas search+record on the forward path (TPU): unrolled v1
+    # sweep for small scenes, projected MXU sweep for large ones
+    use_fused = use_proj = False
+    if not differentiable:
         from rust_pathtracer_tpu.ops.pallas_intersect import pallas_available
 
-        use_fused = pallas_available()
+        if pallas_available():
+            use_fused = scene.kinds_static is not None
+            use_proj = not use_fused and scene.proj is not None
     if use_fused:
         from rust_pathtracer_tpu.ops.pallas_intersect import (
             closest_hit_record_pallas,
         )
 
         hit_mask, t, idx, rec = closest_hit_record_pallas(scene, o, d, T_MIN)
+        hit_mask = hit_mask & alive
+        rec = rec._replace(valid=hit_mask)
+    elif use_proj:
+        from rust_pathtracer_tpu.ops.projected import (
+            closest_hit_record_projected,
+        )
+
+        hit_mask, t, idx, rec = closest_hit_record_projected(
+            scene, o, d, T_MIN
+        )
         hit_mask = hit_mask & alive
         rec = rec._replace(valid=hit_mask)
     else:

@@ -288,9 +288,19 @@ def hit_record(
     sphere UV (geometry.rs:120-128), rect UV (geometry.rs:225-230 etc.)
     and the triangle's flat normal + uv=(0,0) (geometry.rs:550-558).
     """
-    types = prim_types if prim_types is not None else (0, 1, 2)
     idx = jnp.clip(idx, 0, prims.kind.shape[0] - 1)
     kind, aux, data, mat = gather_prim_rows(prims, idx)
+    return record_from_rows(
+        kind, aux, data, mat, idx, o, d, t, valid, prim_types
+    )
+
+
+def record_from_rows(
+    kind, aux, data, mat, idx, o, d, t, valid, prim_types=None
+) -> HitRecord:
+    """hit_record body on already-fetched per-lane primitive rows
+    (used directly by the projected-sweep kernel's payload epilogue)."""
+    types = prim_types if prim_types is not None else (0, 1, 2)
 
     point = o + t[..., None] * d
 
@@ -359,26 +369,35 @@ def closest_hit(scene, o, d, t_min, t_max):
     Returns (hit, t, idx)."""
     from rust_pathtracer_tpu.ops.bvh_traverse import closest_hit_bvh
 
-    # On TPU the unrolled Pallas sweep beats gather-based BVH traversal
-    # up to ~600 primitives, so it takes priority whenever the static
-    # kind table exists (even if a BVH was built for the CPU path).
-    if scene.kinds_static is not None:
-        from rust_pathtracer_tpu.ops.pallas_intersect import (
-            closest_hit_pallas,
-            pallas_available,
-        )
+    # TPU routing: the unrolled v1 Pallas sweep up to MAX_PALLAS_PRIMS,
+    # the projected (MXU matmul) v2 sweep beyond — gather-based BVH
+    # traversal faults/stalls the device at ~1M lanes, so the TPU path
+    # never takes it (the BVH serves the CPU path).
+    from rust_pathtracer_tpu.ops.pallas_intersect import pallas_available
 
-        if pallas_available():
-            return closest_hit_pallas(scene, o, d, t_min)
-    else:
-        # big scene on TPU: chunked dense sweep (BVH traversal's
-        # per-lane gathers fault/stall the device)
-        import jax as _jax
-
-        if _jax.default_backend() == "tpu":
-            return closest_hit_brute_chunked(
-                scene.prims, o, d, t_min, t_max, prim_types=scene.prim_types
+    if pallas_available():
+        if scene.kinds_static is not None:
+            from rust_pathtracer_tpu.ops.pallas_intersect import (
+                closest_hit_pallas,
             )
+
+            return closest_hit_pallas(scene, o, d, t_min)
+        if scene.proj is not None:
+            from rust_pathtracer_tpu.ops.projected import (
+                PAY_IDX,
+                closest_hit_projected,
+            )
+
+            hit, t, pay = closest_hit_projected(scene.proj, o, d, t_min)
+            idx = jnp.maximum(
+                jnp.round(pay[:, PAY_IDX]).astype(jnp.int32), 0
+            )
+            return hit, t, idx
+    elif jax.default_backend() == "tpu":
+        # Pallas disabled by env: chunked dense sweep keeps TPU safe
+        return closest_hit_brute_chunked(
+            scene.prims, o, d, t_min, t_max, prim_types=scene.prim_types
+        )
     if scene.bvh is None:
         return closest_hit_brute(
             scene.prims, o, d, t_min, t_max, prim_types=scene.prim_types

@@ -42,7 +42,9 @@ from rust_pathtracer_tpu.ops.intersect import T_MISS, TRI_DET_EPS
 from rust_pathtracer_tpu.scene.types import PRIM_RECT, PRIM_SPHERE, PRIM_TRIANGLE
 
 BLOCK_ROWS = 8          # rays per grid step = BLOCK_ROWS * 128
-MAX_PALLAS_PRIMS = 600  # beyond this, clustered/BVH kernels win
+# beyond this, the unrolled scalar-read sweep loses to the projected
+# (MXU matmul) sweep in ops/projected.py
+MAX_PALLAS_PRIMS = 128
 
 # rect fixed axis -> the two free axes in ascending order (types.py)
 _RECT_FREE = {0: (1, 2), 1: (0, 2), 2: (0, 1)}

@@ -1,0 +1,443 @@
+"""Projected-sweep closest hit: intersection as MXU matmuls (v2 kernel).
+
+The v1 Pallas sweep (pallas_intersect.py) unrolls one statically-typed
+test per primitive with *scalar* table reads — ideal below ~128
+primitives, but scalar-read bound beyond (measured 1.5 Mrays/s on the
+514-sphere SphereField).  This module reformulates ray/primitive
+intersection so the per-primitive work is a dense matrix product that
+the MXU executes, with zero scalar reads and zero gathers:
+
+* Rays become an (R, 8) matrix  [ox oy oz dx dy dz 1 0].
+* Every primitive contributes THREE projection columns (each applied to
+  both the origin and the direction) plus a few per-column constants:
+    sphere  c,r :  P0 = c                       -> o.c, d.c
+    rect    k,ab:  P0 = e_fixed (offset -k), P1 = e_a, P2 = e_b
+    triangle    :  Woop unit-triangle transform W = [e1 e2 n]^-1;
+                   P0 = w2 (offset -w2.v0), P1 = w0, P2 = w1
+  so the six products rays @ A0..A2 / rays @ B0..B2 (A = origin rows
+  0-2 + offset row 6, B = direction rows 3-5) give every quantity the
+  per-type closest-hit formulas need as (R, C) panels.
+* Primitive columns are grouped by type in 128-column groups (lane
+  width), so each group runs exactly its own formula — divergence-free
+  like the v1 unroll, but vectorized across primitives instead of
+  serialized.
+* The winner's shading payload (its ``Primitives`` row + kind/aux/mat
+  and ORIGINAL index) is fetched inside the kernel by a one-hot
+  contraction against a (C, 16) payload table — again the MXU, so the
+  epilogue (ops/intersect.hit_record math) never gathers.
+
+Reference behavior preserved: sphere half-b quadratic with nearest root
+first (geometry.rs:132-163), rect plane solve + bounds
+(geometry.rs:210-231), triangle one-sided cull det < 1e-4
+(geometry.rs:526) expressed as -d'_z * |n|^2 >= eps, t_min = 0.001
+units of the unnormalized |d| (ray.rs:25).
+
+Numerics: the Woop transform is algebraically equal to Möller–Trumbore
+but not bitwise; t agrees to ~1e-6 relative.  The kernel serves the
+detached hit *search* only (the integrator stop-gradients it), the jnp
+implementation here is its exact-match oracle, and image-level
+agreement vs the brute MT path is covered by statistical tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rust_pathtracer_tpu.ops.intersect import T_MISS, TRI_DET_EPS
+from rust_pathtracer_tpu.scene.types import PRIM_RECT, PRIM_SPHERE, PRIM_TRIANGLE
+
+GROUP = 128          # lane width: one type per 128-column group
+BLOCK_ROWS = 4       # rays per kernel step = BLOCK_ROWS * 128
+COL_BLOCK = 512      # primitive columns per kernel step
+
+# payload column layout (16 = data[12] + kind + aux + mat + orig index)
+PAY_KIND, PAY_AUX, PAY_MAT, PAY_IDX = 12, 13, 14, 15
+
+_RECT_FREE = {0: (1, 2), 1: (0, 2), 2: (0, 1)}
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ProjTables:
+    """Device-side projected-sweep tables.
+
+    ``a``/``b`` are (3, 8, C): three origin/direction projection
+    matrices; ``const`` is (8, C) per-column scalars; ``payload`` is
+    (C, 16).  ``group_kinds`` (static) is the primitive type of each
+    128-column group (-1 = all padding).
+    """
+
+    a: jnp.ndarray
+    b: jnp.ndarray
+    const: jnp.ndarray
+    payload: jnp.ndarray
+    group_kinds: Tuple[int, ...] = dataclasses.field(
+        default=(), metadata=dict(static=True)
+    )
+
+    @property
+    def num_cols(self) -> int:
+        return self.a.shape[-1]
+
+
+def _pad_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def build_projected(kind, aux, data, mat) -> ProjTables:
+    """Host-side (numpy) table build from flattened primitive arrays."""
+    kind = np.asarray(kind)
+    aux = np.asarray(aux)
+    data = np.asarray(data, np.float64)  # precompute inverses in f64
+    mat = np.asarray(mat)
+    P = kind.shape[0]
+
+    order = []  # original indices, grouped by type with per-type padding
+    group_kinds = []
+    for tk in (PRIM_SPHERE, PRIM_RECT, PRIM_TRIANGLE):
+        idxs = np.nonzero(kind == tk)[0]
+        if len(idxs) == 0:
+            continue
+        n_pad = _pad_up(len(idxs), GROUP)
+        order.extend(int(i) for i in idxs)
+        order.extend([-1] * (n_pad - len(idxs)))
+        group_kinds.extend([tk] * (n_pad // GROUP))
+    C = _pad_up(max(len(order), 1), COL_BLOCK)
+    while len(order) < C:
+        order.append(-1)
+        if len(order) % GROUP == 0:
+            group_kinds.append(-1)
+    while len(group_kinds) < C // GROUP:
+        group_kinds.append(-1)
+
+    A = np.zeros((3, 8, C), np.float64)
+    B = np.zeros((3, 8, C), np.float64)
+    K = np.zeros((8, C), np.float64)
+    pay = np.zeros((C, 16), np.float64)
+    # padding columns: every formula must MISS (see per-type notes)
+    K[0, :] = 1.0e30
+
+    for c, p in enumerate(order):
+        if p < 0:
+            continue
+        row = data[p]
+        pay[c, :12] = row
+        pay[c, PAY_KIND] = kind[p]
+        pay[c, PAY_AUX] = aux[p]
+        pay[c, PAY_MAT] = mat[p]
+        pay[c, PAY_IDX] = p
+        tk = int(kind[p])
+        if tk == PRIM_SPHERE:
+            ctr, r = row[0:3], row[3]
+            A[0, 0:3, c] = ctr
+            B[0, 3:6, c] = ctr
+            # K0 = |c|^2 - r^2  (padding's 1e30 makes disc < 0 -> miss)
+            K[0, c] = ctr @ ctr - r * r
+        elif tk == PRIM_RECT:
+            k_plane = row[0]
+            a0, b0, a1, b1 = row[1], row[2], row[3], row[4]
+            f = int(aux[p])
+            fa, fb = _RECT_FREE[f]
+            A[0, f, c] = 1.0
+            A[0, 6, c] = -k_plane
+            B[0, 3 + f, c] = 1.0
+            A[1, fa, c] = 1.0
+            B[1, 3 + fa, c] = 1.0
+            A[2, fb, c] = 1.0
+            B[2, 3 + fb, c] = 1.0
+            # padding columns keep K0=1e30 > K1 -> bounds always fail
+            K[0, c] = a0
+            K[1, c] = a1
+            K[2, c] = b0
+            K[3, c] = b1
+        elif tk == PRIM_TRIANGLE:
+            v0, e1, e2 = row[0:3], row[3:6], row[6:9]
+            n = np.cross(e1, e2)
+            n2 = float(n @ n)
+            if n2 > 1e-30:
+                w0 = np.cross(e2, n) / n2
+                w1 = np.cross(n, e1) / n2
+                w2 = n / n2
+                for j, w in ((0, w2), (1, w0), (2, w1)):
+                    A[j, 0:3, c] = w
+                    A[j, 6, c] = -(w @ v0)
+                    B[j, 3:6, c] = w
+                K[0, c] = n2
+            else:
+                K[0, c] = 0.0  # degenerate: det = 0 -> culled
+        else:
+            raise ValueError(f"unknown prim kind {tk}")
+
+    return ProjTables(
+        a=jnp.asarray(A, jnp.float32),
+        b=jnp.asarray(B, jnp.float32),
+        const=jnp.asarray(K, jnp.float32),
+        payload=jnp.asarray(pay, jnp.float32),
+        group_kinds=tuple(group_kinds),
+    )
+
+
+def _group_t(tk, O0, O1, O2, D0, D1, D2, K, onorm, odot, dnorm, t_min):
+    """(R, G) hit distances for one statically-typed column group.
+
+    Returns t with T_MISS where invalid; all inputs (R, G) except the
+    per-ray (R, 1) norms.
+    """
+    k0, k1, k2, k3 = K[0:1], K[1:2], K[2:3], K[3:4]  # (1, G) rows
+    if tk == PRIM_SPHERE:
+        half_b = odot - D0
+        cterm = onorm - 2.0 * O0 + k0
+        dis = half_b * half_b - dnorm * cterm
+        sqrtd = jnp.sqrt(jnp.maximum(dis, 0.0))
+        root1 = (-half_b - sqrtd) / dnorm
+        root2 = (-half_b + sqrtd) / dnorm
+        ok1 = root1 >= t_min
+        t = jnp.where(ok1, root1, root2)
+        valid = (dis >= 0.0) & (ok1 | (root2 >= t_min))
+    elif tk == PRIM_RECT:
+        t = -O0 / D0  # inf/NaN when parallel -> bounds comparisons fail
+        av = O1 + t * D1
+        bv = O2 + t * D2
+        valid = (
+            (t >= t_min)
+            & (av >= k0) & (av <= k1) & (bv >= k2) & (bv <= k3)
+        )
+    elif tk == PRIM_TRIANGLE:
+        det = -D0 * k0  # = d . -n; cull needs det >= eps
+        t = -O0 / D0
+        u = O1 + t * D1
+        v = O2 + t * D2
+        valid = (
+            (det >= TRI_DET_EPS)
+            & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t >= t_min)
+        )
+    else:  # all-padding group
+        return jnp.full(O0.shape, T_MISS, jnp.float32)
+    return jnp.where(valid, t, T_MISS)
+
+
+def _ray_matrix(o, d):
+    R = o.shape[0]
+    return jnp.concatenate(
+        [o, d, jnp.ones((R, 1), o.dtype), jnp.zeros((R, 1), o.dtype)], axis=1
+    )
+
+
+def closest_hit_projected_ref(tables: ProjTables, o, d, t_min):
+    """Pure-jnp reference of the projected sweep (exact-match oracle for
+    the Pallas kernel; also usable on CPU).  Returns (hit, t, payload)
+    with payload (R, 16)."""
+    rays = _ray_matrix(o, d)
+    hp = jax.lax.Precision.HIGHEST
+    O = jnp.einsum("rk,jkc->jrc", rays, tables.a, precision=hp)
+    D = jnp.einsum("rk,jkc->jrc", rays, tables.b, precision=hp)
+    onorm = jnp.sum(o * o, axis=-1, keepdims=True)
+    odot = jnp.sum(o * d, axis=-1, keepdims=True)
+    dnorm = jnp.sum(d * d, axis=-1, keepdims=True)
+
+    cols = []
+    for g, tk in enumerate(tables.group_kinds):
+        sl = slice(g * GROUP, (g + 1) * GROUP)
+        cols.append(
+            _group_t(
+                tk,
+                O[0][:, sl], O[1][:, sl], O[2][:, sl],
+                D[0][:, sl], D[1][:, sl], D[2][:, sl],
+                tables.const[:, sl],
+                onorm, odot, dnorm, t_min,
+            )
+        )
+    tmat = jnp.concatenate(cols, axis=1)  # (R, C)
+    best_c = jnp.argmin(tmat, axis=1).astype(jnp.int32)
+    best_t = jnp.min(tmat, axis=1)
+    hit = best_t < T_MISS
+    onehot = (
+        best_c[:, None] == np.arange(tables.num_cols, dtype=np.int32)
+    ).astype(jnp.float32)
+    payload = jnp.dot(
+        onehot, tables.payload, preferred_element_type=jnp.float32, precision=hp
+    )
+    return hit, jnp.where(hit, best_t, T_MISS), payload
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+def _kernel(group_kinds, t_min, n_pblocks,
+            rays_ref, a_ref, b_ref, k_ref, pay_ref,
+            t_ref, c_ref, payout_ref):
+    """Grid (ray_blocks, p_blocks); p minor => sequential running min."""
+    jb = pl.program_id(1)
+
+    rays = rays_ref[:]  # (RB*128, 8)
+    o = rays[:, 0:3]
+    d = rays[:, 3:6]
+    onorm = jnp.sum(o * o, axis=-1, keepdims=True)
+    odot = jnp.sum(o * d, axis=-1, keepdims=True)
+    dnorm = jnp.sum(d * d, axis=-1, keepdims=True)
+
+    hp = jax.lax.Precision.HIGHEST
+
+    @pl.when(jb == 0)
+    def _init():
+        t_ref[:] = jnp.full(t_ref.shape, T_MISS, jnp.float32)
+        c_ref[:] = jnp.full(c_ref.shape, -1, jnp.int32)
+        payout_ref[:] = jnp.zeros(payout_ref.shape, jnp.float32)
+
+    # six (RB*128, CB) projection panels via MXU
+    O = [jnp.dot(rays, a_ref[i], preferred_element_type=jnp.float32,
+                 precision=hp) for i in range(3)]
+    D = [jnp.dot(rays, b_ref[i], preferred_element_type=jnp.float32,
+                 precision=hp) for i in range(3)]
+    kconst = k_ref[:]  # (8, CB)
+
+    # per-128-group statically-typed hit distances
+    best_t = None
+    best_c = None
+    for g in range(COL_BLOCK // GROUP):
+        sl = slice(g * GROUP, (g + 1) * GROUP)
+        tg_all = []
+        for blk in range(n_pblocks):
+            tk = group_kinds[blk * (COL_BLOCK // GROUP) + g]
+            tg_all.append(tk)
+        # the group's type depends on which p-block this step handles;
+        # select among the (few) distinct formulas with pl.when-free
+        # masking: compute each distinct type's t and pick by jb.
+        distinct = sorted(set(tg_all))
+        tgs = None
+        for tk in distinct:
+            tcand = _group_t(
+                tk,
+                O[0][:, sl], O[1][:, sl], O[2][:, sl],
+                D[0][:, sl], D[1][:, sl], D[2][:, sl],
+                kconst[:, sl],
+                onorm, odot, dnorm, t_min,
+            )
+            if tgs is None:
+                tgs = tcand
+            else:
+                # p-blocks where this group has type tk, as a scalar
+                # OR-chain on program_id (no captured constant arrays)
+                sel = None
+                for blk, k in enumerate(tg_all):
+                    if k == tk:
+                        cmp = jb == blk
+                        sel = cmp if sel is None else (sel | cmp)
+                tgs = jnp.where(sel, tcand, tgs)
+        gt = jnp.min(tgs, axis=1, keepdims=True)              # (R, 1)
+        iota = jax.lax.broadcasted_iota(jnp.int32, tgs.shape, 1)
+        gc = jnp.min(
+            jnp.where(tgs <= gt, iota, np.int32(2 ** 30)), axis=1,
+            keepdims=True,
+        ) + g * GROUP
+        if best_t is None:
+            best_t, best_c = gt, gc
+        else:
+            take = gt < best_t
+            best_t = jnp.where(take, gt, best_t)
+            best_c = jnp.where(take, gc, best_c)
+
+    # winner payload for THIS p-block via one-hot MXU contraction
+    iota_cb = jax.lax.broadcasted_iota(jnp.int32, (rays.shape[0], COL_BLOCK), 1)
+    onehot = (iota_cb == best_c).astype(jnp.float32)
+    blk_pay = jnp.dot(onehot, pay_ref[:], preferred_element_type=jnp.float32,
+                      precision=hp)
+
+    prev_t = t_ref[:]
+    upd = best_t < prev_t
+    t_ref[:] = jnp.where(upd, best_t, prev_t)
+    c_ref[:] = jnp.where(upd, best_c + jb * COL_BLOCK, c_ref[:])
+    payout_ref[:] = jnp.where(upd, blk_pay, payout_ref[:])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_kinds", "t_min", "interpret")
+)
+def _closest_hit_projected(rays, a, b, const, payload, *, group_kinds,
+                           t_min, interpret=False):
+    R8 = rays.shape[0]
+    C = a.shape[-1]
+    n_pblocks = C // COL_BLOCK
+    rb = BLOCK_ROWS * 128
+    grid = (R8 // rb, n_pblocks)
+
+    kernel = functools.partial(_kernel, group_kinds, t_min, n_pblocks)
+    t, c, pay = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rb, 8), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 8, COL_BLOCK), lambda i, j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 8, COL_BLOCK), lambda i, j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, COL_BLOCK), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((COL_BLOCK, 16), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((rb, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 16), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R8, 1), jnp.float32),
+            jax.ShapeDtypeStruct((R8, 1), jnp.int32),
+            jax.ShapeDtypeStruct((R8, 16), jnp.float32),
+        ),
+        interpret=interpret,
+    )(rays, a, b, const, payload)
+    return t[:, 0], c[:, 0], pay
+
+
+def closest_hit_record_projected(scene, o, d, t_min, interpret=False):
+    """Projected sweep + full HitRecord from the in-kernel payload.
+
+    Drop-in peer of pallas_intersect.closest_hit_record_pallas for
+    scenes too large for the unrolled v1 sweep.  Non-differentiable
+    (the integrator uses it on the detached forward path only).
+    """
+    from rust_pathtracer_tpu.ops.intersect import record_from_rows
+
+    hit, t, pay = closest_hit_projected(scene.proj, o, d, t_min, interpret)
+    kind = jnp.round(pay[:, PAY_KIND]).astype(jnp.int32)
+    aux = jnp.round(pay[:, PAY_AUX]).astype(jnp.int32)
+    mat = jnp.round(pay[:, PAY_MAT]).astype(jnp.int32)
+    idx = jnp.maximum(jnp.round(pay[:, PAY_IDX]).astype(jnp.int32), 0)
+    t_safe = jnp.where(hit, t, 1.0)
+    rec = record_from_rows(
+        kind, aux, pay[:, :12], mat, idx, o, d, t_safe, hit,
+        prim_types=scene.prim_types,
+    )
+    return hit, t_safe, idx, rec
+
+
+def closest_hit_projected(tables: ProjTables, o, d, t_min, interpret=False):
+    """Pallas projected sweep.  Returns (hit, t, payload (R, 16))."""
+    R = o.shape[0]
+    rb = BLOCK_ROWS * 128
+    Rp = _pad_up(R, rb)
+    rays = _ray_matrix(o, d)
+    rays = jnp.pad(rays, ((0, Rp - R), (0, 0)))
+    t, c, pay = _closest_hit_projected(
+        rays, tables.a, tables.b, tables.const, tables.payload,
+        group_kinds=tables.group_kinds, t_min=float(t_min),
+        interpret=interpret,
+    )
+    t, c, pay = t[:R], c[:R], pay[:R]
+    hit = c >= 0
+    return hit, jnp.where(hit, t, T_MISS), pay

@@ -352,22 +352,31 @@ class SceneBuilder:
             images = np.zeros((1, 1, 1, 3), np.float32)
             image_hw = np.ones((1, 2), np.int32)
 
+        # TPU kernel routing data (closest_hit picks per backend):
+        # small scenes carry the static kind tuple for the unrolled v1
+        # sweep; everything larger carries projected-sweep (v2 MXU)
+        # tables — both coexist with the BVH used by the CPU path.
+        from rust_pathtracer_tpu.ops.pallas_intersect import MAX_PALLAS_PRIMS
+
+        proj = None
+        if len(prim_kind) > MAX_PALLAS_PRIMS:
+            from rust_pathtracer_tpu.ops.projected import build_projected
+
+            proj = build_projected(prim_kind, prim_aux, prim_data, prim_mat)
+
         return SceneData(
             leaf_size=int(leaf_size) if use_bvh else 0,
             prim_types=tuple(sorted(set(int(k) for k in prim_kind))),
             tex_types=tuple(sorted(set(self._tex_kind))) if self._tex_kind else (),
             mat_types=tuple(sorted(set(self._mat_kind))),
-            # static per-prim types enable the unrolled Pallas sweep; on
-            # TPU the sweep beats gather-based BVH traversal up to
-            # several hundred primitives, so keep it available even for
-            # BVH-carrying scenes (closest_hit picks per backend)
             kinds_static=(
                 tuple(
                     (int(k), int(a)) for k, a in zip(prim_kind, prim_aux)
                 )
-                if len(prim_kind) <= 600
+                if len(prim_kind) <= MAX_PALLAS_PRIMS
                 else None
             ),
+            proj=proj,
             prims=Primitives(
                 kind=jnp.asarray(prim_kind),
                 mat=jnp.asarray(prim_mat),

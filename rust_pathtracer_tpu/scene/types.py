@@ -122,6 +122,9 @@ class SceneData:
     kinds_static: Optional[Tuple[Tuple[int, int], ...]] = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
+    # projected-sweep tables (ops/projected.ProjTables) for scenes past
+    # the unrolled-sweep size; None on small scenes / when unused
+    proj: Optional[object] = None
 
     @property
     def num_prims(self) -> int:

@@ -55,12 +55,14 @@ def test_pallas_matches_jnp_mixed_types():
     _compare(scene, o, d)
 
 
-def test_mid_size_scene_keeps_static_kinds_alongside_bvh():
+def test_mid_size_scene_carries_projected_tables():
     # SphereField (514 prims) carries BOTH: a BVH for the CPU path and
-    # the static kind table for the TPU Pallas sweep
+    # projected-sweep tables for the TPU MXU kernel (too large for the
+    # unrolled v1 sweep's static kind table)
     scene = get_scene("SphereField").build()
     assert scene.bvh is not None
-    assert scene.kinds_static is not None and len(scene.kinds_static) == scene.num_prims
+    assert scene.kinds_static is None
+    assert scene.proj is not None and scene.proj.num_cols >= scene.num_prims
 
 
 def test_fused_record_kernel_matches_hit_record():

@@ -1,0 +1,170 @@
+"""Projected-sweep (v2 MXU kernel) correctness vs the jnp oracles."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rust_pathtracer_tpu.ops.intersect import T_MISS, closest_hit_brute
+from rust_pathtracer_tpu.ops.projected import (
+    PAY_IDX,
+    build_projected,
+    closest_hit_projected,
+    closest_hit_projected_ref,
+)
+from rust_pathtracer_tpu.scene.builder import SceneBuilder
+from rust_pathtracer_tpu.models import get_scene
+
+
+def _mixed_scene(n_spheres=40, n_rects=12, n_tris=30, seed=0):
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    m = b.lambertian((0.5, 0.5, 0.5))
+    for _ in range(n_spheres):
+        b.add_sphere(rng.uniform(-8, 8, 3), rng.uniform(0.3, 1.2), m)
+    for _ in range(n_rects):
+        plane = ["xy", "xz", "yz"][rng.integers(3)]
+        fixed = {"xy": 2, "xz": 1, "yz": 0}[plane]
+        s = rng.uniform(-8, 8, 3)
+        e = s + rng.uniform(0.5, 3.0, 3)
+        e[fixed] = s[fixed]
+        b.add_rect(plane, s, e, 1.0 if rng.random() < 0.5 else -1.0, m)
+    for _ in range(n_tris):
+        p0 = rng.uniform(-8, 8, 3)
+        b.add_triangle(p0, p0 + rng.uniform(-2, 2, 3), p0 + rng.uniform(-2, 2, 3), m)
+    return b.build(use_bvh=False)
+
+
+def _rays(n, seed=1):
+    rng = np.random.default_rng(seed)
+    o = jnp.asarray(rng.uniform(-10, 10, (n, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    return o, d
+
+
+def test_projected_ref_matches_brute_mixed():
+    scene = _mixed_scene()
+    tables = build_projected(
+        scene.prims.kind, scene.prims.aux, scene.prims.data, scene.prims.mat
+    )
+    o, d = _rays(1024)
+    h1, t1, i1 = closest_hit_brute(scene.prims, o, d, 1e-3, 1e30, scene.prim_types)
+    h2, t2, pay = closest_hit_projected_ref(tables, o, d, 1e-3)
+    i2 = np.rint(np.asarray(pay[:, PAY_IDX])).astype(np.int64)
+    h1, h2 = np.asarray(h1), np.asarray(h2)
+    # Woop vs MT can disagree only within float noise of cull/bounds
+    # edges; on random rays hits and winners must agree everywhere
+    assert (h1 == h2).mean() > 0.999
+    both = h1 & h2
+    assert (np.asarray(i1)[both] == i2[both]).mean() > 0.999
+    same = both & (np.asarray(i1) == i2)
+    np.testing.assert_allclose(
+        np.asarray(t1)[same], np.asarray(t2)[same], rtol=2e-4
+    )
+
+
+def test_projected_payload_rows():
+    scene = _mixed_scene(5, 3, 4)
+    tables = build_projected(
+        scene.prims.kind, scene.prims.aux, scene.prims.data, scene.prims.mat
+    )
+    o, d = _rays(256, seed=3)
+    h, t, pay = closest_hit_projected_ref(tables, o, d, 1e-3)
+    h = np.asarray(h)
+    idx = np.rint(np.asarray(pay[:, PAY_IDX])).astype(np.int64)
+    kinds = np.rint(np.asarray(pay[:, 12])).astype(np.int64)
+    data = np.asarray(scene.prims.data)
+    for lane in np.nonzero(h)[0][:50]:
+        p = idx[lane]
+        assert kinds[lane] == int(np.asarray(scene.prims.kind)[p])
+        np.testing.assert_array_equal(np.asarray(pay[lane, :12]), data[p])
+
+
+def test_pallas_projected_matches_ref_interpret():
+    scene = _mixed_scene(60, 20, 50, seed=7)
+    tables = build_projected(
+        scene.prims.kind, scene.prims.aux, scene.prims.data, scene.prims.mat
+    )
+    o, d = _rays(777, seed=11)  # non-multiple of block to test padding
+    h1, t1, pay1 = closest_hit_projected_ref(tables, o, d, 1e-3)
+    h2, t2, pay2 = closest_hit_projected(tables, o, d, 1e-3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    hm = np.asarray(h1)
+    # kernel vs einsum: same math, different FMA contraction order
+    np.testing.assert_allclose(
+        np.asarray(t1)[hm], np.asarray(t2)[hm], rtol=1e-5, atol=1e-5
+    )
+    i1 = np.rint(np.asarray(pay1[:, PAY_IDX])).astype(np.int64)
+    i2 = np.rint(np.asarray(pay2[:, PAY_IDX])).astype(np.int64)
+    same = hm & (i1 == i2)
+    assert same[hm].mean() > 0.999
+    np.testing.assert_array_equal(np.asarray(pay1)[same], np.asarray(pay2)[same])
+
+
+def test_pallas_projected_multiblock_interpret():
+    # >512 columns forces the sequential p-block accumulation path
+    scene = _mixed_scene(500, 30, 300, seed=5)
+    tables = build_projected(
+        scene.prims.kind, scene.prims.aux, scene.prims.data, scene.prims.mat
+    )
+    assert tables.num_cols > 512
+    o, d = _rays(512, seed=13)
+    h1, t1, pay1 = closest_hit_projected_ref(tables, o, d, 1e-3)
+    h2, t2, pay2 = closest_hit_projected(tables, o, d, 1e-3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    hm = np.asarray(h1)
+    np.testing.assert_allclose(
+        np.asarray(t1)[hm], np.asarray(t2)[hm], rtol=1e-5, atol=1e-5
+    )
+    i1 = np.rint(np.asarray(pay1[:, PAY_IDX])).astype(np.int64)
+    i2 = np.rint(np.asarray(pay2[:, PAY_IDX])).astype(np.int64)
+    assert (i1[hm] == i2[hm]).mean() > 0.999
+
+
+def test_projected_spherefield_scene():
+    scene = get_scene("SphereField").build()
+    tables = build_projected(
+        scene.prims.kind, scene.prims.aux, scene.prims.data, scene.prims.mat
+    )
+    o, d = _rays(512, seed=17)
+    h1, t1, i1 = closest_hit_brute(
+        scene.prims, o, d, 1e-3, 1e30, scene.prim_types
+    )
+    h2, t2, pay = closest_hit_projected_ref(tables, o, d, 1e-3)
+    i2 = np.rint(np.asarray(pay[:, PAY_IDX])).astype(np.int64)
+    assert (np.asarray(h1) == np.asarray(h2)).mean() > 0.998
+    both = np.asarray(h1) & np.asarray(h2) & (np.asarray(i1) == i2)
+    # the expanded quadratic (onorm - 2 o.c + (|c|^2 - r^2)) loses
+    # ~1e-4 absolute on the r=1000 ground sphere vs brute's |o-c|^2
+    # form; relative error only looks large where t itself is tiny
+    np.testing.assert_allclose(
+        np.asarray(t1)[both], np.asarray(t2)[both], rtol=1e-3, atol=5e-5
+    )
+
+
+def test_record_projected_matches_jnp_record(monkeypatch):
+    from rust_pathtracer_tpu.ops import projected as proj_mod
+    from rust_pathtracer_tpu.ops.intersect import closest_hit_brute, hit_record
+
+    scene = _mixed_scene(200, 20, 60, seed=9)
+    o, d = _rays(600, seed=21)
+    h1, t1, i1 = closest_hit_brute(
+        scene.prims, o, d, 1e-3, 1e30, scene.prim_types
+    )
+    rec1 = hit_record(
+        scene.prims, i1, o, d, jnp.where(h1, t1, 1.0), h1,
+        prim_types=scene.prim_types,
+    )
+    h2, t2, i2, rec2 = proj_mod.closest_hit_record_projected(
+        scene, o, d, 1e-3, interpret=True
+    )
+    both = np.asarray(h1) & np.asarray(h2)
+    hm = both & (np.asarray(i1) == np.asarray(i2))
+    assert hm[both].mean() > 0.98  # same winners on hitting rays
+    for name in ("normal", "front_face", "u", "v", "mat"):
+        a = np.asarray(getattr(rec1, name))[hm]
+        b = np.asarray(getattr(rec2, name))[hm]
+        if a.dtype == bool or a.dtype.kind == "i":
+            np.testing.assert_array_equal(a, b)
+        else:
+            # Woop-vs-MT t differences propagate into point -> normal
+            np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-4)
