@@ -57,14 +57,17 @@ def main():
         if args.quick:
             spp = max(1, spp // 16)
         settings = RenderSettings(
-            w, h, spp, bounces, sd.output.image.background, spp_chunk=4
+            w, h, spp, bounces, sd.output.image.background
         )
         scene = sd.build()
         cam = sd.camera_at(0.0)
         render = render_radiance_regen if args.regen else render_radiance
 
-        # compile warmup at 4 spp (same chunk shape as the full run)
-        warm = RenderSettings(w, h, 4, bounces, sd.output.image.background, spp_chunk=4)
+        # compile warmup with the same chunk shape as the full run
+        chunk = settings.resolve_chunk()
+        warm = RenderSettings(
+            w, h, chunk, bounces, sd.output.image.background, spp_chunk=chunk
+        )
         img, _ = render(scene, cam, warm, key)
         img.block_until_ready()
 

@@ -98,17 +98,14 @@ def _find_hit(scene, o, d, differentiable):
     return hit_mask, t, idx
 
 
-def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
-                 differentiable=False):
-    o, d, thr, rad, alive, segments, occupancy = state
-    n_alive = jnp.sum(alive.astype(jnp.float32))
-    segments = segments + n_alive
-    occupancy = jax.lax.dynamic_update_slice(
-        occupancy, n_alive[None], (jnp.minimum(bounce, MAX_BOUNCE_STATS - 1),)
-    )
+def search_and_record(scene, o, d, alive, differentiable=False):
+    """Closest-hit search + HitRecord with per-backend kernel routing.
 
-    # fused Pallas search+record on the forward path (TPU): unrolled v1
-    # sweep for small scenes, projected MXU sweep for large ones
+    TPU forward path: fused v1 sweep (<=128 prims) or projected MXU
+    sweep (beyond), both returning the full record without gathers.
+    Differentiable / CPU path: jnp search + one-hot record.
+    Returns (hit_mask & alive, record with valid = that mask).
+    """
     use_fused = use_proj = False
     if not differentiable:
         from rust_pathtracer_tpu.ops.pallas_intersect import pallas_available
@@ -140,6 +137,19 @@ def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
         rec = hit_record(
             scene.prims, idx, o, d, t, hit_mask, prim_types=scene.prim_types
         )
+    return hit_mask, rec
+
+
+def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
+                 differentiable=False):
+    o, d, thr, rad, alive, segments, occupancy = state
+    n_alive = jnp.sum(alive.astype(jnp.float32))
+    segments = segments + n_alive
+    occupancy = jax.lax.dynamic_update_slice(
+        occupancy, n_alive[None], (jnp.minimum(bounce, MAX_BOUNCE_STATS - 1),)
+    )
+
+    hit_mask, rec = search_and_record(scene, o, d, alive, differentiable)
 
     # miss -> background, weighted by throughput (ray.rs:40)
     miss = alive & ~hit_mask

@@ -46,7 +46,10 @@ class RenderSettings:
     # use the reverse-differentiable scan loop (fixed trip count)
     differentiable: bool = False
 
-    def resolve_chunk(self, target_lanes: int = 1 << 21) -> int:
+    # Default wavefront sizing.  v5e HBM holds ~1M-lane bounce state
+    # comfortably; XLA pads some (N, small) while-carry temps to
+    # 128-lane tiles, so 4M-lane chunks overflow 16G (measured).
+    def resolve_chunk(self, target_lanes: int = 1 << 20) -> int:
         if self.spp_chunk is not None:
             return max(1, min(self.spp_chunk, self.samples_per_pixel))
         per_sample = self.width * self.height

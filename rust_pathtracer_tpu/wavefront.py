@@ -31,12 +31,10 @@ from rust_pathtracer_tpu import vecmath as vm
 from rust_pathtracer_tpu.camera import Camera, camera_rays
 from rust_pathtracer_tpu.integrator import (
     MAX_BOUNCE_STATS,
-    T_MIN,
     TraceStats,
-    _find_hit,
+    search_and_record,
 )
 from rust_pathtracer_tpu.materials import emitted, scatter
-from rust_pathtracer_tpu.ops.intersect import hit_record
 from rust_pathtracer_tpu.render import RenderSettings
 
 
@@ -111,10 +109,7 @@ def render_radiance_regen(
         alive, depth, lkeys = s["alive"], s["depth"], s["lkeys"]
         segments = s["segments"] + jnp.sum(alive.astype(jnp.float32))
 
-        hit_mask, t, idx = _find_hit(scene, o, d, False)
-        hit_mask = hit_mask & alive
-        rec = hit_record(scene.prims, idx, o, d, t, hit_mask,
-                         prim_types=scene.prim_types)
+        hit_mask, rec = search_and_record(scene, o, d, alive)
 
         miss = alive & ~hit_mask
         rad = rad + jnp.where(miss[..., None], thr * bg, 0.0)
