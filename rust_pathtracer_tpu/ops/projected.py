@@ -125,56 +125,56 @@ def build_projected(kind, aux, data, mat) -> ProjTables:
     # padding columns: every formula must MISS (see per-type notes)
     K[0, :] = 1.0e30
 
-    for c, p in enumerate(order):
-        if p < 0:
-            continue
-        row = data[p]
-        pay[c, :12] = row
-        pay[c, PAY_KIND] = kind[p]
-        pay[c, PAY_AUX] = aux[p]
-        pay[c, PAY_MAT] = mat[p]
-        pay[c, PAY_IDX] = p
-        tk = int(kind[p])
-        if tk == PRIM_SPHERE:
-            ctr, r = row[0:3], row[3]
-            A[0, 0:3, c] = ctr
-            B[0, 3:6, c] = ctr
-            # K0 = |c|^2 - r^2  (padding's 1e30 makes disc < 0 -> miss)
-            K[0, c] = ctr @ ctr - r * r
-        elif tk == PRIM_RECT:
-            k_plane = row[0]
-            a0, b0, a1, b1 = row[1], row[2], row[3], row[4]
-            f = int(aux[p])
-            fa, fb = _RECT_FREE[f]
-            A[0, f, c] = 1.0
-            A[0, 6, c] = -k_plane
-            B[0, 3 + f, c] = 1.0
-            A[1, fa, c] = 1.0
-            B[1, 3 + fa, c] = 1.0
-            A[2, fb, c] = 1.0
-            B[2, 3 + fb, c] = 1.0
-            # padding columns keep K0=1e30 > K1 -> bounds always fail
-            K[0, c] = a0
-            K[1, c] = a1
-            K[2, c] = b0
-            K[3, c] = b1
-        elif tk == PRIM_TRIANGLE:
-            v0, e1, e2 = row[0:3], row[3:6], row[6:9]
-            n = np.cross(e1, e2)
-            n2 = float(n @ n)
-            if n2 > 1e-30:
-                w0 = np.cross(e2, n) / n2
-                w1 = np.cross(n, e1) / n2
-                w2 = n / n2
-                for j, w in ((0, w2), (1, w0), (2, w1)):
-                    A[j, 0:3, c] = w
-                    A[j, 6, c] = -(w @ v0)
-                    B[j, 3:6, c] = w
-                K[0, c] = n2
-            else:
-                K[0, c] = 0.0  # degenerate: det = 0 -> culled
-        else:
-            raise ValueError(f"unknown prim kind {tk}")
+    order_np = np.asarray(order, np.int64)
+    cols = np.nonzero(order_np >= 0)[0]
+    prm = order_np[cols]
+    pay[cols, :12] = data[prm]
+    pay[cols, PAY_KIND] = kind[prm]
+    pay[cols, PAY_AUX] = aux[prm]
+    pay[cols, PAY_MAT] = mat[prm]
+    pay[cols, PAY_IDX] = prm
+
+    # spheres: K0 = |c|^2 - r^2 (padding's 1e30 makes disc < 0 -> miss)
+    sm = kind[prm] == PRIM_SPHERE
+    sc, sp = cols[sm], prm[sm]
+    ctr = data[sp, 0:3]
+    A[0, 0:3, sc] = ctr  # advanced-index dim comes first: (n, 3)
+    B[0, 3:6, sc] = ctr
+    K[0, sc] = np.einsum("ij,ij->i", ctr, ctr) - data[sp, 3] ** 2
+
+    # rects, grouped by fixed axis (padding keeps K0=1e30 > K1 = 0)
+    rm = kind[prm] == PRIM_RECT
+    for f, (fa, fb) in _RECT_FREE.items():
+        fm = rm & (aux[prm] == f)
+        rc, rp = cols[fm], prm[fm]
+        A[0, f, rc] = 1.0
+        A[0, 6, rc] = -data[rp, 0]
+        B[0, 3 + f, rc] = 1.0
+        A[1, fa, rc] = 1.0
+        B[1, 3 + fa, rc] = 1.0
+        A[2, fb, rc] = 1.0
+        B[2, 3 + fb, rc] = 1.0
+        K[0, rc] = data[rp, 1]
+        K[1, rc] = data[rp, 3]
+        K[2, rc] = data[rp, 2]
+        K[3, rc] = data[rp, 4]
+
+    # triangles: Woop transform W = [e1 e2 n]^-1 via cross products
+    tm = kind[prm] == PRIM_TRIANGLE
+    tc, tp = cols[tm], prm[tm]
+    if len(tc):
+        v0, e1, e2 = data[tp, 0:3], data[tp, 3:6], data[tp, 6:9]
+        n = np.cross(e1, e2)
+        n2 = np.einsum("ij,ij->i", n, n)
+        good = n2 > 1e-30
+        n2safe = np.where(good, n2, 1.0)[:, None]
+        ws = (n / n2safe, np.cross(e2, n) / n2safe, np.cross(n, e1) / n2safe)
+        for j, w in enumerate(ws):
+            w = np.where(good[:, None], w, 0.0)
+            A[j, 0:3, tc] = w  # advanced dim first: (n, 3)
+            A[j, 6, tc] = -np.einsum("ij,ij->i", w, v0)
+            B[j, 3:6, tc] = w
+        K[0, tc] = np.where(good, n2, 0.0)  # degenerate: det 0 -> culled
 
     return ProjTables(
         a=jnp.asarray(A, jnp.float32),
