@@ -13,6 +13,14 @@ scatter/compact of live state, just an exclusive cumsum to hand out
 fresh work ids and one scatter-add to flush finished radiance into the
 per-pixel accumulator.
 
+Measured on v5e (512^2 judging configs): the per-iteration scatter-add
++ refill overhead currently outweighs the occupancy win — LightTest
+29.9 s regen vs 28.2 s chunked, CornellBox 58 s vs 13.6 s — so the
+chunked renderer remains the default and this mode is opt-in
+(CLI --regen).  Kept because the estimator is verified identical
+(means match to 1e-5 on-chip) and the occupancy structure will win
+once the flush cost is amortized (e.g. flush every K iterations).
+
 RNG consistency: a work item's lane key is derived from the same
 (pixel * spp + sample) counter and per-(bounce, purpose) fold as the
 chunked renderer, and each lane tracks its own path depth — so every
