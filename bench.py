@@ -70,10 +70,17 @@ def main():
 
     step = jax.jit(jax.value_and_grad(loss_and_segments, has_aux=True))
 
+    # NOTE: block_until_ready is not reliable over the axon remote
+    # backend (compute can land in the next host fetch) — every timed
+    # region must end with an actual device->host scalar fetch.
+    def grad_checksum(grads):
+        leaves = jax.tree_util.tree_leaves(grads)
+        return float(sum(jnp.sum(jnp.abs(l)) for l in leaves))
+
     # compile + warmup
     (loss, segments), grads = step(params)
     segs = float(segments)
-    jax.block_until_ready(grads)
+    _ = grad_checksum(grads)
     print(
         f"# warmup ok: loss={float(loss):.5f} segments/pass={segs:.0f} "
         f"avg_depth={segs / (WIDTH * HEIGHT * SPP_CHUNK):.2f}",
@@ -83,7 +90,8 @@ def main():
     t0 = time.perf_counter()
     for _ in range(REPS):
         (loss, segments), grads = step(params)
-    jax.block_until_ready(grads)
+    _ = grad_checksum(grads)
+    _ = float(loss)
     dt = (time.perf_counter() - t0) / REPS
 
     rays_per_sec = segs / dt

@@ -63,19 +63,21 @@ def main():
         cam = sd.camera_at(0.0)
         render = render_radiance_regen if args.regen else render_radiance
 
-        # compile warmup with the same chunk shape as the full run
+        # compile warmup with the same chunk shape as the full run.
+        # NOTE: block_until_ready is not reliable over the axon remote
+        # backend — all timings end with a device->host fetch instead.
         chunk = settings.resolve_chunk()
         warm = RenderSettings(
             w, h, chunk, bounces, sd.output.image.background, spp_chunk=chunk
         )
         img, _ = render(scene, cam, warm, key)
-        img.block_until_ready()
+        _ = float(img.mean())
 
         t0 = time.perf_counter()
         if rebuild:
             scene = sd.build()  # per-frame BVH/scene rebuild, timed
         img, stats = render(scene, cam, settings, key)
-        img.block_until_ready()
+        _ = float(img.mean())
         dt = time.perf_counter() - t0
         rays = float(stats.segments)
         print(

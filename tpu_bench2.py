@@ -16,17 +16,21 @@ def run(name, kw, w, h, spp, nb, rr=None, tag=""):
     settings = RenderSettings(w, h, spp, nb, bg, russian_roulette_start=rr)
     chunk = settings.resolve_chunk()
     warm = RenderSettings(w, h, chunk, nb, bg, spp_chunk=chunk, russian_roulette_start=rr)
+    import numpy as _np
+    # NOTE: block_until_ready is NOT reliable over the axon remote
+    # backend (observed 0.04s "frames" whose compute landed in the
+    # later host fetch) — always time through a device->host fetch.
     t0 = time.perf_counter()
     img, _ = render_radiance(scene, cam, warm, jax.random.PRNGKey(9))
-    img.block_until_ready(); tw = time.perf_counter() - t0
+    wmean = float(img.mean()); tw = time.perf_counter() - t0
     print(f"warm {tw:.1f}s", flush=True)
     t0 = time.perf_counter()
     img, stats = render_radiance(scene, cam, settings, jax.random.PRNGKey(1))
-    img.block_until_ready(); dt = time.perf_counter() - t0
+    fmean = float(img.mean()); dt = time.perf_counter() - t0
     print(json.dumps({"scene": name+tag, "res": f"{w}x{h}", "spp": spp, "rr": rr,
         "warm_s": round(tw,2), "frame_s": round(dt,3),
         "Mrays_s": round(float(stats.segments)/dt/1e6,1),
-        "mean": round(float(img.mean()),5)}), flush=True)
+        "mean": round(fmean,5)}), flush=True)
 
 if which == "spherefield":
     run("SphereField", {}, 1280, 720, 512, 20)
