@@ -79,6 +79,12 @@ class ProjTables:
     b: jnp.ndarray
     const: jnp.ndarray
     payload: jnp.ndarray
+    # (6, C/GROUP): per-128-column-cluster AABB (min xyz, max xyz).
+    # Primitive columns keep BVH-leaf order, so clusters are spatially
+    # compact; the kernel slab-tests each ray block against a cluster
+    # and skips the whole 128-column sweep when no ray can hit it —
+    # the TPU-native two-level BVH.
+    cluster_bounds: jnp.ndarray = None
     group_kinds: Tuple[int, ...] = dataclasses.field(
         default=(), metadata=dict(static=True)
     )
@@ -176,11 +182,43 @@ def build_projected(kind, aux, data, mat) -> ProjTables:
             B[j, 3:6, tc] = w
         K[0, tc] = np.where(good, n2, 0.0)  # degenerate: det 0 -> culled
 
+    # per-column AABBs -> per-128-column cluster AABBs
+    col_min = np.full((C, 3), 1.0e30)
+    col_max = np.full((C, 3), -1.0e30)
+    if len(sc):
+        ar = np.abs(data[sp, 3])[:, None]
+        col_min[sc] = data[sp, 0:3] - ar
+        col_max[sc] = data[sp, 0:3] + ar
+    for f, (fa, fb) in _RECT_FREE.items():
+        fm = rm & (aux[prm] == f)
+        rc, rp = cols[fm], prm[fm]
+        if not len(rc):
+            continue
+        lo = np.empty((len(rc), 3))
+        hi = np.empty((len(rc), 3))
+        lo[:, f] = hi[:, f] = data[rp, 0]
+        lo[:, fa], hi[:, fa] = data[rp, 1], data[rp, 3]
+        lo[:, fb], hi[:, fb] = data[rp, 2], data[rp, 4]
+        col_min[rc], col_max[rc] = lo, hi
+    if len(tc):
+        vs = np.stack([v0, v0 + e1, v0 + e2], axis=1)  # (n, 3, 3)
+        col_min[tc] = vs.min(axis=1)
+        col_max[tc] = vs.max(axis=1)
+    glo = col_min.reshape(-1, GROUP, 3).min(axis=1)
+    ghi = col_max.reshape(-1, GROUP, 3).max(axis=1)
+    # conservative epsilon so f32 rounding can never cull a boundary hit
+    pad = 1e-5 * (1.0 + np.maximum(np.abs(glo), np.abs(ghi)))
+    nonempty = (glo <= ghi).all(axis=1, keepdims=True)
+    glo = np.where(nonempty, glo - pad, glo)
+    ghi = np.where(nonempty, ghi + pad, ghi)
+    cb = np.concatenate([glo, ghi], axis=1).T  # (6, C/GROUP)
+
     return ProjTables(
         a=jnp.asarray(A, jnp.float32),
         b=jnp.asarray(B, jnp.float32),
         const=jnp.asarray(K, jnp.float32),
         payload=jnp.asarray(pay, jnp.float32),
+        cluster_bounds=jnp.asarray(cb, jnp.float32),
         group_kinds=tuple(group_kinds),
     )
 
@@ -273,9 +311,17 @@ def closest_hit_projected_ref(tables: ProjTables, o, d, t_min):
 # Pallas kernel
 # ---------------------------------------------------------------------------
 def _kernel(group_kinds, t_min, n_pblocks,
-            rays_ref, a_ref, b_ref, k_ref, pay_ref,
-            t_ref, c_ref, payout_ref):
-    """Grid (ray_blocks, p_blocks); p minor => sequential running min."""
+            rays_ref, a_ref, b_ref, k_ref, pay_ref, cb_ref,
+            t_ref, c_ref, payout_ref, st_ref, sc_ref):
+    """Grid (ray_blocks, p_blocks); p minor => sequential running min.
+
+    Each 128-column cluster is slab-tested against the whole ray block
+    first; the full projected sweep for the cluster runs under
+    ``pl.when`` only if some ray can still hit it (conservative, so
+    results are identical to the unculled sweep).  ``st/sc`` are VMEM
+    scratch for the per-group (t, column) results across the
+    conditional boundary.
+    """
     jb = pl.program_id(1)
 
     rays = rays_ref[:]  # (RB*128, 8)
@@ -293,52 +339,88 @@ def _kernel(group_kinds, t_min, n_pblocks,
         c_ref[:] = jnp.full(c_ref.shape, -1, jnp.int32)
         payout_ref[:] = jnp.zeros(payout_ref.shape, jnp.float32)
 
-    # six (RB*128, CB) projection panels via MXU
-    O = [jnp.dot(rays, a_ref[i], preferred_element_type=jnp.float32,
-                 precision=hp) for i in range(3)]
-    D = [jnp.dot(rays, b_ref[i], preferred_element_type=jnp.float32,
-                 precision=hp) for i in range(3)]
-    kconst = k_ref[:]  # (8, CB)
+    prev_t = t_ref[:]  # (RB*128, 1): best from earlier p-blocks
 
-    # per-128-group statically-typed hit distances
+    # slab-test reciprocals; clamped (not inf) so products stay finite
+    tiny = np.float32(1e-30)
+    dsafe = jnp.where(jnp.abs(d) < tiny, jnp.where(d < 0.0, -tiny, tiny), d)
+    inv_d = 1.0 / dsafe
+
+    kconst = k_ref[:]  # (8, CB)
+    ngrp = COL_BLOCK // GROUP
+
     best_t = None
     best_c = None
-    for g in range(COL_BLOCK // GROUP):
+    for g in range(ngrp):
         sl = slice(g * GROUP, (g + 1) * GROUP)
-        tg_all = []
-        for blk in range(n_pblocks):
-            tk = group_kinds[blk * (COL_BLOCK // GROUP) + g]
-            tg_all.append(tk)
-        # the group's type depends on which p-block this step handles;
-        # select among the (few) distinct formulas with pl.when-free
-        # masking: compute each distinct type's t and pick by jb.
-        distinct = sorted(set(tg_all))
-        tgs = None
-        for tk in distinct:
-            tcand = _group_t(
-                tk,
-                O[0][:, sl], O[1][:, sl], O[2][:, sl],
-                D[0][:, sl], D[1][:, sl], D[2][:, sl],
-                kconst[:, sl],
-                onorm, odot, dnorm, t_min,
-            )
-            if tgs is None:
-                tgs = tcand
-            else:
-                # p-blocks where this group has type tk, as a scalar
-                # OR-chain on program_id (no captured constant arrays)
-                sel = None
-                for blk, k in enumerate(tg_all):
-                    if k == tk:
-                        cmp = jb == blk
-                        sel = cmp if sel is None else (sel | cmp)
-                tgs = jnp.where(sel, tcand, tgs)
-        gt = jnp.min(tgs, axis=1, keepdims=True)              # (R, 1)
-        iota = jax.lax.broadcasted_iota(jnp.int32, tgs.shape, 1)
-        gc = jnp.min(
-            jnp.where(tgs <= gt, iota, np.int32(2 ** 30)), axis=1,
-            keepdims=True,
-        ) + g * GROUP
+        tg_all = [group_kinds[blk * ngrp + g] for blk in range(n_pblocks)]
+        # all-padding block-groups are statically unhittable; their
+        # sentinel bounds are not a reliable empty box, so mask them out
+        pad_blocks = [blk for blk, k in enumerate(tg_all) if k == -1]
+        if len(pad_blocks) == n_pblocks:
+            continue  # this group is padding in EVERY p-block
+
+        # cluster AABB slab test (bvh.rs:18-35 semantics), tightened by
+        # the best hit found so far — scalar bounds from SMEM
+        running = prev_t if best_t is None else jnp.minimum(prev_t, best_t)
+        lo = jnp.full(running.shape, t_min, jnp.float32)
+        hi = running
+        for ax in range(3):
+            b0 = (cb_ref[ax, jb * ngrp + g] - o[:, ax:ax + 1]) * inv_d[:, ax:ax + 1]
+            b1 = (cb_ref[3 + ax, jb * ngrp + g] - o[:, ax:ax + 1]) * inv_d[:, ax:ax + 1]
+            lo = jnp.maximum(lo, jnp.minimum(b0, b1))
+            hi = jnp.minimum(hi, jnp.maximum(b0, b1))
+        any_hit = jnp.any(hi >= lo)
+        if pad_blocks:
+            is_pad = None
+            for blk in pad_blocks:
+                cmp = jb == blk
+                is_pad = cmp if is_pad is None else (is_pad | cmp)
+            any_hit = any_hit & jnp.logical_not(is_pad)
+
+        @pl.when(any_hit)
+        def _sweep(g=g, sl=sl, tg_all=tg_all):
+            Og = [jnp.dot(rays, a_ref[i][:, sl],
+                          preferred_element_type=jnp.float32, precision=hp)
+                  for i in range(3)]
+            Dg = [jnp.dot(rays, b_ref[i][:, sl],
+                          preferred_element_type=jnp.float32, precision=hp)
+                  for i in range(3)]
+            # the group's type depends on which p-block this step
+            # handles; select among the (few) distinct formulas with a
+            # scalar OR-chain on program_id (no captured constants)
+            distinct = sorted(set(tg_all))
+            tgs = None
+            for tk in distinct:
+                tcand = _group_t(
+                    tk, Og[0], Og[1], Og[2], Dg[0], Dg[1], Dg[2],
+                    kconst[:, sl], onorm, odot, dnorm, t_min,
+                )
+                if tgs is None:
+                    tgs = tcand
+                else:
+                    sel = None
+                    for blk, k in enumerate(tg_all):
+                        if k == tk:
+                            cmp = jb == blk
+                            sel = cmp if sel is None else (sel | cmp)
+                    tgs = jnp.where(sel, tcand, tgs)
+            gt = jnp.min(tgs, axis=1, keepdims=True)          # (R, 1)
+            iota = jax.lax.broadcasted_iota(jnp.int32, tgs.shape, 1)
+            gc = jnp.min(
+                jnp.where(tgs <= gt, iota, np.int32(2 ** 30)), axis=1,
+                keepdims=True,
+            ) + g * GROUP
+            st_ref[:] = gt
+            sc_ref[:] = gc
+
+        @pl.when(jnp.logical_not(any_hit))
+        def _skip():
+            st_ref[:] = jnp.full(st_ref.shape, T_MISS, jnp.float32)
+            sc_ref[:] = jnp.zeros(sc_ref.shape, jnp.int32)
+
+        gt = st_ref[:]
+        gc = sc_ref[:]
         if best_t is None:
             best_t, best_c = gt, gc
         else:
@@ -362,8 +444,8 @@ def _kernel(group_kinds, t_min, n_pblocks,
 @functools.partial(
     jax.jit, static_argnames=("group_kinds", "t_min", "interpret")
 )
-def _closest_hit_projected(rays, a, b, const, payload, *, group_kinds,
-                           t_min, interpret=False):
+def _closest_hit_projected(rays, a, b, const, payload, cbounds, *,
+                           group_kinds, t_min, interpret=False):
     R8 = rays.shape[0]
     C = a.shape[-1]
     n_pblocks = C // COL_BLOCK
@@ -385,6 +467,9 @@ def _closest_hit_projected(rays, a, b, const, payload, *, group_kinds,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((COL_BLOCK, 16), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
+            # whole cluster-bounds table as scalars (C/GROUP is small)
+            pl.BlockSpec(cbounds.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((rb, 1), lambda i, j: (i, 0),
@@ -399,8 +484,12 @@ def _closest_hit_projected(rays, a, b, const, payload, *, group_kinds,
             jax.ShapeDtypeStruct((R8, 1), jnp.int32),
             jax.ShapeDtypeStruct((R8, 16), jnp.float32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((rb, 1), jnp.float32),
+            pltpu.VMEM((rb, 1), jnp.int32),
+        ],
         interpret=interpret,
-    )(rays, a, b, const, payload)
+    )(rays, a, b, const, payload, cbounds)
     return t[:, 0], c[:, 0], pay
 
 
@@ -435,6 +524,7 @@ def closest_hit_projected(tables: ProjTables, o, d, t_min, interpret=False):
     rays = jnp.pad(rays, ((0, Rp - R), (0, 0)))
     t, c, pay = _closest_hit_projected(
         rays, tables.a, tables.b, tables.const, tables.payload,
+        tables.cluster_bounds,
         group_kinds=tables.group_kinds, t_min=float(t_min),
         interpret=interpret,
     )

@@ -168,3 +168,37 @@ def test_record_projected_matches_jnp_record(monkeypatch):
         else:
             # Woop-vs-MT t differences propagate into point -> normal
             np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-4)
+
+
+def test_cluster_bounds_contain_members():
+    from rust_pathtracer_tpu.ops.projected import GROUP
+
+    scene = _mixed_scene(150, 30, 90, seed=4)
+    tables = build_projected(
+        scene.prims.kind, scene.prims.aux, scene.prims.data, scene.prims.mat
+    )
+    cb = np.asarray(tables.cluster_bounds)  # (6, C/GROUP)
+    pay = np.asarray(tables.payload)
+    kinds = np.rint(pay[:, 12]).astype(int)
+    data = pay[:, :12]
+    for c in range(tables.num_cols):
+        g = c // GROUP
+        tk = kinds[c]
+        if pay[c].sum() == 0 and data[c].sum() == 0:
+            continue  # padding column
+        if tk == 0:  # sphere
+            lo = data[c, 0:3] - abs(data[c, 3])
+            hi = data[c, 0:3] + abs(data[c, 3])
+        elif tk == 1:  # rect: fixed axis from aux
+            f = int(np.rint(pay[c, 13]))
+            fa, fb = {0: (1, 2), 1: (0, 2), 2: (0, 1)}[f]
+            lo = np.empty(3); hi = np.empty(3)
+            lo[f] = hi[f] = data[c, 0]
+            lo[fa], hi[fa] = data[c, 1], data[c, 3]
+            lo[fb], hi[fb] = data[c, 2], data[c, 4]
+        else:  # triangle
+            vs = np.stack([data[c, 0:3], data[c, 0:3] + data[c, 3:6],
+                           data[c, 0:3] + data[c, 6:9]])
+            lo, hi = vs.min(0), vs.max(0)
+        assert (cb[0:3, g] <= lo + 1e-4).all(), (c, g)
+        assert (cb[3:6, g] >= hi - 1e-4).all(), (c, g)

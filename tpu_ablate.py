@@ -22,13 +22,21 @@ from rust_pathtracer_tpu.scene.obj_loader import write_benchmark_obj
 print("backend:", jax.default_backend(), flush=True)
 
 
+def _checksum(r):
+    import jax.numpy as jnp
+
+    leaves = [x for x in jax.tree_util.tree_leaves(r) if hasattr(x, "dtype")]
+    return float(sum(jnp.sum(jnp.abs(x.astype(jnp.float32))) for x in leaves))
+
+
 def timeit(tag, fn, *args):
-    r = fn(*args)
-    jax.block_until_ready(r)
+    # timing must END in a device->host fetch (axon block_until_ready
+    # is unreliable across async dispatches)
+    _checksum(fn(*args))
     t0 = time.perf_counter()
     for _ in range(5):
         r = fn(*args)
-    jax.block_until_ready(r)
+    _checksum(r)
     print(f"{tag}: {(time.perf_counter()-t0)/5*1e3:.2f} ms", flush=True)
 
 
