@@ -52,7 +52,7 @@ import numpy as np
 
 from rust_pathtracer_tpu import sampling
 from rust_pathtracer_tpu import vecmath as vm
-from rust_pathtracer_tpu.materials import emitted, scatter
+from rust_pathtracer_tpu.materials import emitted, scatter, shade_inputs
 from rust_pathtracer_tpu.ops.intersect import closest_hit, hit_record, prim_intersect_t
 
 T_MIN = 1e-3  # ray.rs:25
@@ -104,8 +104,12 @@ def search_and_record(scene, o, d, alive, differentiable=False):
     TPU forward path: fused v1 sweep (<=128 prims) or projected MXU
     sweep (beyond), both returning the full record without gathers.
     Differentiable / CPU path: jnp search + one-hot record.
-    Returns (hit_mask & alive, record with valid = that mask).
+    Returns (hit_mask & alive, record with valid = that mask,
+    shade_row) — shade_row is the payload shading columns (R, 16) when
+    the projected kernel supplied them (so material/texture parameters
+    need no table lookups), else None.
     """
+    shade_row = None
     use_fused = use_proj = False
     if not differentiable:
         from rust_pathtracer_tpu.ops.pallas_intersect import pallas_available
@@ -126,7 +130,7 @@ def search_and_record(scene, o, d, alive, differentiable=False):
             closest_hit_record_projected,
         )
 
-        hit_mask, t, idx, rec = closest_hit_record_projected(
+        hit_mask, t, idx, rec, shade_row = closest_hit_record_projected(
             scene, o, d, T_MIN
         )
         hit_mask = hit_mask & alive
@@ -137,7 +141,7 @@ def search_and_record(scene, o, d, alive, differentiable=False):
         rec = hit_record(
             scene.prims, idx, o, d, t, hit_mask, prim_types=scene.prim_types
         )
-    return hit_mask, rec
+    return hit_mask, rec, shade_row
 
 
 def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
@@ -149,14 +153,17 @@ def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
         occupancy, n_alive[None], (jnp.minimum(bounce, MAX_BOUNCE_STATS - 1),)
     )
 
-    hit_mask, rec = search_and_record(scene, o, d, alive, differentiable)
+    hit_mask, rec, shade_row = search_and_record(
+        scene, o, d, alive, differentiable
+    )
+    si = shade_inputs(scene, rec, shade_row)
 
     # miss -> background, weighted by throughput (ray.rs:40)
     miss = alive & ~hit_mask
     rad = rad + jnp.where(miss[..., None], thr * background, 0.0)
 
     # hit -> emitted (ray.rs:26), then scatter (ray.rs:28-34)
-    em = emitted(scene, rec)
+    em = emitted(scene, rec, si)
     rad = rad + jnp.where(hit_mask[..., None], thr * em, 0.0)
 
     sg = jax.lax.stop_gradient  # detached sampling: draws carry no grads
@@ -169,7 +176,7 @@ def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
     coin = sg(sampling.uniform(
         sampling.bounce_keys(lane_keys, bounce, sampling.P_SCHLICK)
     ))
-    sc = scatter(scene, rec, d, sphere_dir, ball_dir, coin)
+    sc = scatter(scene, rec, d, sphere_dir, ball_dir, coin, si)
 
     cont = hit_mask & sc.did_scatter
     thr = jnp.where(cont[..., None], thr * sc.attenuation, thr)

@@ -44,21 +44,70 @@ class ScatterResult(NamedTuple):
     attenuation: jnp.ndarray  # f32 (R, 3)
 
 
-def emitted(scene, hit: HitRecord):
+class ShadeInputs(NamedTuple):
+    """Per-lane material parameters + evaluated texture color.
+
+    Computed ONCE per bounce (the same texture value serves emission
+    and albedo — each material has a single texture, material.rs) from
+    either the material/texture tables (one-hot lookups; small scenes
+    and CPU) or the projected-sweep payload row (zero lookups; large
+    scenes on TPU, see ops/projected.py PAY_* layout).
+    """
+
+    kind: jnp.ndarray   # i32 (R,) material kind
+    fuzz: jnp.ndarray   # f32 (R,)
+    ir: jnp.ndarray     # f32 (R,)
+    value: jnp.ndarray  # f32 (R, 3) texture value at the hit
+
+
+def shade_inputs(scene, hit: HitRecord, shade_row=None) -> ShadeInputs:
+    """Build ShadeInputs from tables, or from a payload ``shade_row``
+    (R, >=16) holding cols 16-31 of the projected payload."""
+    if shade_row is None:
+        mats = scene.materials
+        kind, tex, fuzz, ir = table.lookup(
+            hit.mat, mats.kind, mats.tex, mats.fuzz, mats.ir
+        )
+        # dielectric-only scenes have no texture consumers (attenuation
+        # is fixed (1,1,1), material.rs:141) and may carry empty tables
+        needs_value = (
+            (MAT_LAMBERTIAN in scene.mat_types)
+            or (MAT_METAL in scene.mat_types)
+            or (MAT_LIGHT in scene.mat_types)
+        )
+        value = (
+            eval_texture(
+                scene.textures, tex, hit.u, hit.v, hit.point, scene.tex_types
+            )
+            if needs_value
+            else jnp.zeros_like(hit.point)
+        )
+        return ShadeInputs(kind, fuzz, ir, value)
+
+    from rust_pathtracer_tpu.textures import eval_texture_payload
+
+    kind = jnp.round(shade_row[:, 0]).astype(jnp.int32)
+    fuzz = shade_row[:, 1]
+    ir = shade_row[:, 2]
+    value = eval_texture_payload(
+        scene.textures, shade_row, hit.u, hit.v, hit.point, scene.tex_types
+    )
+    return ShadeInputs(kind, fuzz, ir, value)
+
+
+def emitted(scene, hit: HitRecord, si: ShadeInputs = None):
     """Emitted radiance at the hit (material.rs:159-166): light material
     only, gated on front_face (one-sided emitters)."""
-    mats = scene.materials
     if MAT_LIGHT not in scene.mat_types:
         return jnp.zeros_like(hit.point)
-    kind, tex = table.lookup(hit.mat, mats.kind, mats.tex)
-    emit_tex = eval_texture(
-        scene.textures, tex, hit.u, hit.v, hit.point, scene.tex_types
-    )
-    on = (kind == MAT_LIGHT) & hit.front_face
-    return jnp.where(on[..., None], emit_tex, 0.0)
+    if si is None:
+        si = shade_inputs(scene, hit)
+    on = (si.kind == MAT_LIGHT) & hit.front_face
+    return jnp.where(on[..., None], si.value, 0.0)
 
 
-def scatter(scene, hit: HitRecord, d_in, sphere_dir, ball_dir, coin) -> ScatterResult:
+def scatter(scene, hit: HitRecord, d_in, sphere_dir, ball_dir, coin,
+            si: ShadeInputs = None) -> ScatterResult:
     """Scatter the wavefront off its hit materials.
 
     d_in: incident (unnormalized) directions; sphere_dir: per-lane
@@ -66,20 +115,10 @@ def scatter(scene, hit: HitRecord, d_in, sphere_dir, ball_dir, coin) -> ScatterR
     IN the unit ball; coin: per-lane U[0,1) for the dielectric's
     reflect/refract choice.
     """
-    mats = scene.materials
-    kind, tex, fuzz, ir = table.lookup(
-        hit.mat, mats.kind, mats.tex, mats.fuzz, mats.ir
-    )
+    if si is None:
+        si = shade_inputs(scene, hit)
+    kind, fuzz, ir, albedo = si.kind, si.fuzz, si.ir, si.value
     n = hit.normal
-
-    needs_albedo = (MAT_LAMBERTIAN in scene.mat_types) or (
-        MAT_METAL in scene.mat_types
-    )
-    albedo = (
-        eval_texture(scene.textures, tex, hit.u, hit.v, hit.point, scene.tex_types)
-        if needs_albedo
-        else jnp.zeros_like(hit.point)
-    )
 
     did = jnp.zeros(kind.shape, bool)
     direction = jnp.zeros_like(d_in)

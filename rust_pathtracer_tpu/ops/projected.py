@@ -23,7 +23,7 @@ the MXU executes, with zero scalar reads and zero gathers:
   serialized.
 * The winner's shading payload (its ``Primitives`` row + kind/aux/mat
   and ORIGINAL index) is fetched inside the kernel by a one-hot
-  contraction against a (C, 16) payload table — again the MXU, so the
+  contraction against a (C, 32) payload table — again the MXU, so the
   epilogue (ops/intersect.hit_record math) never gathers.
 
 Reference behavior preserved: sphere half-b quadratic with nearest root
@@ -52,14 +52,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rust_pathtracer_tpu.ops.intersect import T_MISS, TRI_DET_EPS
-from rust_pathtracer_tpu.scene.types import PRIM_RECT, PRIM_SPHERE, PRIM_TRIANGLE
+from rust_pathtracer_tpu.scene.types import (
+    PRIM_RECT,
+    PRIM_SPHERE,
+    PRIM_TRIANGLE,
+    TEX_CHECKER,
+    TEX_IMAGE,
+    TEX_SOLID,
+)
 
 GROUP = 128          # lane width: one type per 128-column group
 BLOCK_ROWS = 4       # rays per kernel step = BLOCK_ROWS * 128
 COL_BLOCK = 512      # primitive columns per kernel step
 
-# payload column layout (16 = data[12] + kind + aux + mat + orig index)
+# payload column layout:
+#   0-11  Primitives.data row
+#   12-15 prim kind / aux / material id / ORIGINAL prim index
+#   16-31 flattened shading row (material + texture), so the shading
+#         path needs NO per-lane table lookups for large scenes:
+#   16 mat kind, 17 fuzz, 18 ir, 19 tex kind, 20 tex scale,
+#   21-23 solid color, 24-26 checker odd color, 27-29 checker even
+#   color, 30 image id (TEX_IMAGE), 31 spare
 PAY_KIND, PAY_AUX, PAY_MAT, PAY_IDX = 12, 13, 14, 15
+PAY_MKIND, PAY_FUZZ, PAY_IR, PAY_TKIND, PAY_TSCALE = 16, 17, 18, 19, 20
+PAY_COLOR, PAY_ODD, PAY_EVEN, PAY_IMG = 21, 24, 27, 30
+PAY_W = 32
 
 _RECT_FREE = {0: (1, 2), 1: (0, 2), 2: (0, 1)}
 
@@ -71,7 +88,7 @@ class ProjTables:
 
     ``a``/``b`` are (3, 8, C): three origin/direction projection
     matrices; ``const`` is (8, C) per-column scalars; ``payload`` is
-    (C, 16).  ``group_kinds`` (static) is the primitive type of each
+    (C, 32).  ``group_kinds`` (static) is the primitive type of each
     128-column group (-1 = all padding).
     """
 
@@ -88,6 +105,11 @@ class ProjTables:
     group_kinds: Tuple[int, ...] = dataclasses.field(
         default=(), metadata=dict(static=True)
     )
+    # True when payload cols 16-31 carry a complete shading row (all
+    # checker children are solid), so shading can skip table lookups
+    shade_ready: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
     @property
     def num_cols(self) -> int:
@@ -98,8 +120,15 @@ def _pad_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def build_projected(kind, aux, data, mat) -> ProjTables:
-    """Host-side (numpy) table build from flattened primitive arrays."""
+def build_projected(kind, aux, data, mat, mats=None, texs=None) -> ProjTables:
+    """Host-side (numpy) table build from flattened primitive arrays.
+
+    ``mats``: optional (kind, tex, fuzz, ir) material arrays and
+    ``texs``: (kind, color, child, scale, image_id) texture arrays —
+    when given, payload columns 16-31 carry each primitive's flattened
+    shading row (see PAY_* layout) and ``shade_ready`` is set if every
+    checker child is a solid leaf.
+    """
     kind = np.asarray(kind)
     aux = np.asarray(aux)
     data = np.asarray(data, np.float64)  # precompute inverses in f64
@@ -127,7 +156,7 @@ def build_projected(kind, aux, data, mat) -> ProjTables:
     A = np.zeros((3, 8, C), np.float64)
     B = np.zeros((3, 8, C), np.float64)
     K = np.zeros((8, C), np.float64)
-    pay = np.zeros((C, 16), np.float64)
+    pay = np.zeros((C, PAY_W), np.float64)
     # padding columns: every formula must MISS (see per-type notes)
     K[0, :] = 1.0e30
 
@@ -139,6 +168,32 @@ def build_projected(kind, aux, data, mat) -> ProjTables:
     pay[cols, PAY_AUX] = aux[prm]
     pay[cols, PAY_MAT] = mat[prm]
     pay[cols, PAY_IDX] = prm
+
+    shade_ready = False
+    if mats is not None and texs is not None:
+        mkind, mtex, mfuzz, mir = (np.asarray(x) for x in mats)
+        tkind, tcolor, tchild, tscale, timg = (np.asarray(x) for x in texs)
+        m = mat[prm]
+        tex = mtex[m]
+        pay[cols, PAY_MKIND] = mkind[m]
+        pay[cols, PAY_FUZZ] = mfuzz[m]
+        pay[cols, PAY_IR] = mir[m]
+        pay[cols, PAY_TKIND] = tkind[tex]
+        pay[cols, PAY_TSCALE] = tscale[tex]
+        pay[cols, PAY_COLOR:PAY_COLOR + 3] = tcolor[tex]
+        is_ck = tkind[tex] == TEX_CHECKER
+        odd, even = tchild[tex, 0], tchild[tex, 1]
+        pay[cols, PAY_ODD:PAY_ODD + 3] = np.where(
+            is_ck[:, None], tcolor[odd], 0.0
+        )
+        pay[cols, PAY_EVEN:PAY_EVEN + 3] = np.where(
+            is_ck[:, None], tcolor[even], 0.0
+        )
+        pay[cols, PAY_IMG] = np.where(tkind[tex] == TEX_IMAGE, timg[tex], -1)
+        bad = is_ck & (
+            (tkind[odd] != TEX_SOLID) | (tkind[even] != TEX_SOLID)
+        )
+        shade_ready = not bool(bad.any())
 
     # spheres: K0 = |c|^2 - r^2 (padding's 1e30 makes disc < 0 -> miss)
     sm = kind[prm] == PRIM_SPHERE
@@ -220,6 +275,7 @@ def build_projected(kind, aux, data, mat) -> ProjTables:
         payload=jnp.asarray(pay, jnp.float32),
         cluster_bounds=jnp.asarray(cb, jnp.float32),
         group_kinds=tuple(group_kinds),
+        shade_ready=shade_ready,
     )
 
 
@@ -263,6 +319,29 @@ def _group_t(tk, O0, O1, O2, D0, D1, D2, K, onorm, odot, dnorm, t_min):
     return jnp.where(valid, t, T_MISS)
 
 
+def _group_q_sphere(O0, D0, K, onorm, odot, dnorm, t_min):
+    """Sphere group hit distances in the SCALED domain q = t * |d|^2.
+
+    |d|^2 is per-ray, so argmin over q picks the same winner as argmin
+    over t; the caller divides the single group winner by |d|^2.  This
+    removes the two per-pair divisions of the t-domain formula (the
+    dominant VPU cost of the sphere sweep).  Returns q with T_MISS
+    sentinel where invalid.
+    """
+    k0 = K[0:1]
+    tmin_a = t_min * dnorm  # (R, 1)
+    half_b = odot - D0
+    cterm = onorm - 2.0 * O0 + k0
+    dis = half_b * half_b - dnorm * cterm
+    sqrtd = jnp.sqrt(jnp.maximum(dis, 0.0))
+    q1 = -half_b - sqrtd
+    q2 = -half_b + sqrtd
+    ok1 = q1 >= tmin_a
+    q = jnp.where(ok1, q1, q2)
+    valid = (dis >= 0.0) & (ok1 | (q2 >= tmin_a))
+    return jnp.where(valid, q, T_MISS)
+
+
 def _ray_matrix(o, d):
     R = o.shape[0]
     return jnp.concatenate(
@@ -273,7 +352,7 @@ def _ray_matrix(o, d):
 def closest_hit_projected_ref(tables: ProjTables, o, d, t_min):
     """Pure-jnp reference of the projected sweep (exact-match oracle for
     the Pallas kernel; also usable on CPU).  Returns (hit, t, payload)
-    with payload (R, 16)."""
+    with payload (R, PAY_W)."""
     rays = _ray_matrix(o, d)
     hp = jax.lax.Precision.HIGHEST
     O = jnp.einsum("rk,jkc->jrc", rays, tables.a, precision=hp)
@@ -378,39 +457,55 @@ def _kernel(group_kinds, t_min, n_pblocks,
                 is_pad = cmp if is_pad is None else (is_pad | cmp)
             any_hit = any_hit & jnp.logical_not(is_pad)
 
+        sphere_only = set(tg_all) <= {PRIM_SPHERE, -1}
+
         @pl.when(any_hit)
-        def _sweep(g=g, sl=sl, tg_all=tg_all):
-            Og = [jnp.dot(rays, a_ref[i][:, sl],
-                          preferred_element_type=jnp.float32, precision=hp)
-                  for i in range(3)]
-            Dg = [jnp.dot(rays, b_ref[i][:, sl],
-                          preferred_element_type=jnp.float32, precision=hp)
-                  for i in range(3)]
-            # the group's type depends on which p-block this step
-            # handles; select among the (few) distinct formulas with a
-            # scalar OR-chain on program_id (no captured constants)
-            distinct = sorted(set(tg_all))
-            tgs = None
-            for tk in distinct:
-                tcand = _group_t(
-                    tk, Og[0], Og[1], Og[2], Dg[0], Dg[1], Dg[2],
-                    kconst[:, sl], onorm, odot, dnorm, t_min,
+        def _sweep(g=g, sl=sl, tg_all=tg_all, sphere_only=sphere_only):
+            if sphere_only:
+                # deferred-division fast path: only the center
+                # projection is needed, comparisons stay in q = t*|d|^2
+                O0 = jnp.dot(rays, a_ref[0][:, sl],
+                             preferred_element_type=jnp.float32, precision=hp)
+                D0 = jnp.dot(rays, b_ref[0][:, sl],
+                             preferred_element_type=jnp.float32, precision=hp)
+                tgs = _group_q_sphere(
+                    O0, D0, kconst[:, sl], onorm, odot, dnorm, t_min
                 )
-                if tgs is None:
-                    tgs = tcand
-                else:
-                    sel = None
-                    for blk, k in enumerate(tg_all):
-                        if k == tk:
-                            cmp = jb == blk
-                            sel = cmp if sel is None else (sel | cmp)
-                    tgs = jnp.where(sel, tcand, tgs)
+            else:
+                Og = [jnp.dot(rays, a_ref[i][:, sl],
+                              preferred_element_type=jnp.float32, precision=hp)
+                      for i in range(3)]
+                Dg = [jnp.dot(rays, b_ref[i][:, sl],
+                              preferred_element_type=jnp.float32, precision=hp)
+                      for i in range(3)]
+                # the group's type depends on which p-block this step
+                # handles; select among the (few) distinct formulas with
+                # a scalar OR-chain on program_id (no captured constants)
+                distinct = sorted(set(tg_all))
+                tgs = None
+                for tk in distinct:
+                    tcand = _group_t(
+                        tk, Og[0], Og[1], Og[2], Dg[0], Dg[1], Dg[2],
+                        kconst[:, sl], onorm, odot, dnorm, t_min,
+                    )
+                    if tgs is None:
+                        tgs = tcand
+                    else:
+                        sel = None
+                        for blk, k in enumerate(tg_all):
+                            if k == tk:
+                                cmp = jb == blk
+                                sel = cmp if sel is None else (sel | cmp)
+                        tgs = jnp.where(sel, tcand, tgs)
             gt = jnp.min(tgs, axis=1, keepdims=True)          # (R, 1)
             iota = jax.lax.broadcasted_iota(jnp.int32, tgs.shape, 1)
             gc = jnp.min(
                 jnp.where(tgs <= gt, iota, np.int32(2 ** 30)), axis=1,
                 keepdims=True,
             ) + g * GROUP
+            if sphere_only:
+                # one division for the group winner recovers t
+                gt = jnp.where(gt >= T_MISS, T_MISS, gt / dnorm)
             st_ref[:] = gt
             sc_ref[:] = gc
 
@@ -465,7 +560,7 @@ def _closest_hit_projected(rays, a, b, const, payload, cbounds, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, COL_BLOCK), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((COL_BLOCK, 16), lambda i, j: (j, 0),
+            pl.BlockSpec((COL_BLOCK, PAY_W), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             # whole cluster-bounds table as scalars (C/GROUP is small)
             pl.BlockSpec(cbounds.shape, lambda i, j: (0, 0),
@@ -476,13 +571,13 @@ def _closest_hit_projected(rays, a, b, const, payload, cbounds, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rb, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, 16), lambda i, j: (i, 0),
+            pl.BlockSpec((rb, PAY_W), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((R8, 1), jnp.float32),
             jax.ShapeDtypeStruct((R8, 1), jnp.int32),
-            jax.ShapeDtypeStruct((R8, 16), jnp.float32),
+            jax.ShapeDtypeStruct((R8, PAY_W), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((rb, 1), jnp.float32),
@@ -512,11 +607,12 @@ def closest_hit_record_projected(scene, o, d, t_min, interpret=False):
         kind, aux, pay[:, :12], mat, idx, o, d, t_safe, hit,
         prim_types=scene.prim_types,
     )
-    return hit, t_safe, idx, rec
+    shade_row = pay[:, PAY_MKIND:] if scene.proj.shade_ready else None
+    return hit, t_safe, idx, rec, shade_row
 
 
 def closest_hit_projected(tables: ProjTables, o, d, t_min, interpret=False):
-    """Pallas projected sweep.  Returns (hit, t, payload (R, 16))."""
+    """Pallas projected sweep.  Returns (hit, t, payload (R, PAY_W))."""
     R = o.shape[0]
     rb = BLOCK_ROWS * 128
     Rp = _pad_up(R, rb)

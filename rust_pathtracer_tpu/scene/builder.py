@@ -362,7 +362,26 @@ class SceneBuilder:
         if len(prim_kind) > MAX_PALLAS_PRIMS:
             from rust_pathtracer_tpu.ops.projected import build_projected
 
-            proj = build_projected(prim_kind, prim_aux, prim_data, prim_mat)
+            proj = build_projected(
+                prim_kind, prim_aux, prim_data, prim_mat,
+                mats=(
+                    np.asarray(self._mat_kind, np.int32),
+                    np.asarray(self._mat_tex, np.int32),
+                    np.asarray(self._mat_fuzz, np.float32),
+                    np.asarray(self._mat_ir, np.float32),
+                ),
+                texs=(
+                    np.asarray(self._tex_kind, np.int32),
+                    np.stack(self._tex_color)
+                    if self._tex_color else np.zeros((1, 3), np.float32),
+                    np.asarray(self._tex_child, np.int32).reshape(-1, 2)
+                    if self._tex_child else np.zeros((1, 2), np.int32),
+                    np.asarray(self._tex_scale, np.float32)
+                    if self._tex_scale else np.zeros(1, np.float32),
+                    np.asarray(self._tex_image, np.int32)
+                    if self._tex_image else np.zeros(1, np.int32),
+                ),
+            )
 
         return SceneData(
             leaf_size=int(leaf_size) if use_bvh else 0,

@@ -42,7 +42,7 @@ from rust_pathtracer_tpu.integrator import (
     TraceStats,
     search_and_record,
 )
-from rust_pathtracer_tpu.materials import emitted, scatter
+from rust_pathtracer_tpu.materials import emitted, scatter, shade_inputs
 from rust_pathtracer_tpu.render import RenderSettings
 
 
@@ -117,11 +117,12 @@ def render_radiance_regen(
         alive, depth, lkeys = s["alive"], s["depth"], s["lkeys"]
         segments = s["segments"] + jnp.sum(alive.astype(jnp.float32))
 
-        hit_mask, rec = search_and_record(scene, o, d, alive)
+        hit_mask, rec, shade_row = search_and_record(scene, o, d, alive)
+        si = shade_inputs(scene, rec, shade_row)
 
         miss = alive & ~hit_mask
         rad = rad + jnp.where(miss[..., None], thr * bg, 0.0)
-        em = emitted(scene, rec)
+        em = emitted(scene, rec, si)
         rad = rad + jnp.where(hit_mask[..., None], thr * em, 0.0)
 
         # per-lane path depth drives the RNG fold (matches chunked mode)
@@ -131,7 +132,7 @@ def render_radiance_regen(
             sampling.bounce_keys(lkeys, depth, sampling.P_FUZZ))
         coin = sampling.uniform(
             sampling.bounce_keys(lkeys, depth, sampling.P_SCHLICK))
-        sc = scatter(scene, rec, d, sphere_dir, ball_dir, coin)
+        sc = scatter(scene, rec, d, sphere_dir, ball_dir, coin, si)
 
         depth = depth + alive.astype(jnp.int32)
         cont = hit_mask & sc.did_scatter & (depth < max_bounces)

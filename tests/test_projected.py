@@ -154,7 +154,7 @@ def test_record_projected_matches_jnp_record(monkeypatch):
         scene.prims, i1, o, d, jnp.where(h1, t1, 1.0), h1,
         prim_types=scene.prim_types,
     )
-    h2, t2, i2, rec2 = proj_mod.closest_hit_record_projected(
+    h2, t2, i2, rec2, _ = proj_mod.closest_hit_record_projected(
         scene, o, d, 1e-3, interpret=True
     )
     both = np.asarray(h1) & np.asarray(h2)
@@ -202,3 +202,45 @@ def test_cluster_bounds_contain_members():
             lo, hi = vs.min(0), vs.max(0)
         assert (cb[0:3, g] <= lo + 1e-4).all(), (c, g)
         assert (cb[3:6, g] >= hi - 1e-4).all(), (c, g)
+
+
+def test_payload_shading_matches_table_shading():
+    from rust_pathtracer_tpu.ops import projected as proj_mod
+    from rust_pathtracer_tpu.materials import shade_inputs
+
+    rng = np.random.default_rng(33)
+    b = SceneBuilder()
+    ck = b.checker_texture(b.solid_texture((0.1, 0.2, 0.3)),
+                           b.solid_texture((0.9, 0.8, 0.7)))
+    pn = b.perlin_texture(3.0)
+    mats = [
+        b.lambertian(ck), b.lambertian(pn), b.metal((0.8, 0.7, 0.6), 0.3),
+        b.dielectric(1.5), b.diffuse_light((4.0, 5.0, 6.0)),
+    ]
+    for _ in range(200):
+        b.add_sphere(rng.uniform(-8, 8, 3), rng.uniform(0.3, 1.0),
+                     mats[rng.integers(len(mats))])
+    scene = b.build(use_bvh=False)
+    assert scene.proj is not None and scene.proj.shade_ready
+
+    o, d = _rays(512, seed=41)
+    hit, t, idx, rec, shade_row = proj_mod.closest_hit_record_projected(
+        scene, o, d, 1e-3, interpret=True
+    )
+    assert shade_row is not None
+    si_pay = shade_inputs(scene, rec, shade_row)
+    si_tab = shade_inputs(scene, rec, None)
+    hm = np.asarray(hit)
+    np.testing.assert_array_equal(
+        np.asarray(si_pay.kind)[hm], np.asarray(si_tab.kind)[hm]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(si_pay.fuzz)[hm], np.asarray(si_tab.fuzz)[hm]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(si_pay.ir)[hm], np.asarray(si_tab.ir)[hm]
+    )
+    np.testing.assert_allclose(
+        np.asarray(si_pay.value)[hm], np.asarray(si_tab.value)[hm],
+        rtol=1e-6, atol=1e-6,
+    )
