@@ -40,24 +40,29 @@ def main():
     objp = os.path.join(tempfile.mkdtemp(), "model.obj")
     write_benchmark_obj(objp)  # ~10k triangles, realistic ModelTest scale
 
-    # (name, kwargs, width, height, spp, bounces, rebuild_bvh)
+    # (name, kwargs, width, height, spp, bounces, rebuild_bvh, rr)
+    # rr = Russian-roulette start bounce (BASELINE.json's north star
+    # includes per-bounce RR; unbiased).  Measured per scene on v5e:
+    # LightTest rr8 -27%, ModelTest rr4 -25%, CornellBox/SphereField
+    # flat-to-worse -> left off.
     configs = [
-        ("TwoSphereCheckers", {}, 400, 225, 64, 8, False),
-        ("LightTest", {}, 512, 512, 256, 50, False),
-        ("CornellBox", {}, 512, 512, 1024, 20, False),
-        ("ModelTest", {"obj_path": objp}, 512, 512, 256, 20, False),
-        ("SphereField", {}, 1280, 720, 512, 20, True),
+        ("TwoSphereCheckers", {}, 400, 225, 64, 8, False, None),
+        ("LightTest", {}, 512, 512, 256, 50, False, 8),
+        ("CornellBox", {}, 512, 512, 1024, 20, False, None),
+        ("ModelTest", {"obj_path": objp}, 512, 512, 256, 20, False, 4),
+        ("SphereField", {}, 1280, 720, 512, 20, True, None),
     ]
     key = jax.random.PRNGKey(0)
 
-    for name, kwargs, w, h, spp, bounces, rebuild in configs:
+    for name, kwargs, w, h, spp, bounces, rebuild, rr in configs:
         if args.scene and name not in args.scene:
             continue
         sd = get_scene(name, **kwargs)
         if args.quick:
             spp = max(1, spp // 16)
         settings = RenderSettings(
-            w, h, spp, bounces, sd.output.image.background
+            w, h, spp, bounces, sd.output.image.background,
+            russian_roulette_start=rr,
         )
         scene = sd.build()
         cam = sd.camera_at(0.0)
@@ -68,7 +73,8 @@ def main():
         # backend — all timings end with a device->host fetch instead.
         chunk = settings.resolve_chunk()
         warm = RenderSettings(
-            w, h, chunk, bounces, sd.output.image.background, spp_chunk=chunk
+            w, h, chunk, bounces, sd.output.image.background, spp_chunk=chunk,
+            russian_roulette_start=rr,
         )
         img, _ = render(scene, cam, warm, key)
         _ = float(img.mean())

@@ -62,7 +62,10 @@ from rust_pathtracer_tpu.scene.types import (
 )
 
 GROUP = 128          # lane width: one type per 128-column group
-BLOCK_ROWS = 4       # rays per kernel step = BLOCK_ROWS * 128
+# rays per kernel step = BLOCK_ROWS * 128.  Smaller blocks are more
+# coherent (better cluster-skip rates) but add grid-step overhead;
+# overridable per call / via RPT_BLOCK_ROWS for experiments.
+BLOCK_ROWS = 4
 COL_BLOCK = 512      # primitive columns per kernel step
 
 # payload column layout:
@@ -537,14 +540,16 @@ def _kernel(group_kinds, t_min, n_pblocks,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group_kinds", "t_min", "interpret")
+    jax.jit,
+    static_argnames=("group_kinds", "t_min", "block_rows", "interpret"),
 )
 def _closest_hit_projected(rays, a, b, const, payload, cbounds, *,
-                           group_kinds, t_min, interpret=False):
+                           group_kinds, t_min, block_rows=BLOCK_ROWS,
+                           interpret=False):
     R8 = rays.shape[0]
     C = a.shape[-1]
     n_pblocks = C // COL_BLOCK
-    rb = BLOCK_ROWS * 128
+    rb = block_rows * 128
     grid = (R8 // rb, n_pblocks)
 
     kernel = functools.partial(_kernel, group_kinds, t_min, n_pblocks)
@@ -611,10 +616,15 @@ def closest_hit_record_projected(scene, o, d, t_min, interpret=False):
     return hit, t_safe, idx, rec, shade_row
 
 
-def closest_hit_projected(tables: ProjTables, o, d, t_min, interpret=False):
+def closest_hit_projected(tables: ProjTables, o, d, t_min, interpret=False,
+                          block_rows=None):
     """Pallas projected sweep.  Returns (hit, t, payload (R, PAY_W))."""
+    import os
+
+    if block_rows is None:
+        block_rows = int(os.environ.get("RPT_BLOCK_ROWS", BLOCK_ROWS))
     R = o.shape[0]
-    rb = BLOCK_ROWS * 128
+    rb = block_rows * 128
     Rp = _pad_up(R, rb)
     rays = _ray_matrix(o, d)
     rays = jnp.pad(rays, ((0, Rp - R), (0, 0)))
@@ -622,7 +632,7 @@ def closest_hit_projected(tables: ProjTables, o, d, t_min, interpret=False):
         rays, tables.a, tables.b, tables.const, tables.payload,
         tables.cluster_bounds,
         group_kinds=tables.group_kinds, t_min=float(t_min),
-        interpret=interpret,
+        block_rows=block_rows, interpret=interpret,
     )
     t, c, pay = t[:R], c[:R], pay[:R]
     hit = c >= 0
