@@ -66,7 +66,10 @@ GROUP = 128          # lane width: one type per 128-column group
 # coherent (better cluster-skip rates) but add grid-step overhead;
 # overridable per call / via RPT_BLOCK_ROWS for experiments.
 BLOCK_ROWS = 4
-COL_BLOCK = 512      # primitive columns per kernel step
+# primitive columns per kernel step; larger blocks amortize the
+# per-grid-step floor (~9 us measured) over more clusters, and the
+# per-cluster sweeps inside are pl.when-skipped independently
+COL_BLOCK = 2048
 
 # payload column layout:
 #   0-11  Primitives.data row
@@ -526,17 +529,27 @@ def _kernel(group_kinds, t_min, n_pblocks,
             best_t = jnp.where(take, gt, best_t)
             best_c = jnp.where(take, gc, best_c)
 
-    # winner payload for THIS p-block via one-hot MXU contraction
-    iota_cb = jax.lax.broadcasted_iota(jnp.int32, (rays.shape[0], COL_BLOCK), 1)
-    onehot = (iota_cb == best_c).astype(jnp.float32)
-    blk_pay = jnp.dot(onehot, pay_ref[:], preferred_element_type=jnp.float32,
-                      precision=hp)
+    if best_t is None:
+        return  # every group of this block is padding in every p-block
 
-    prev_t = t_ref[:]
+    # commit improvements — including the winner-payload one-hot MXU
+    # contraction — only when some ray actually improved; for most
+    # (ray-block, p-block) steps nothing does, and this conditional is
+    # what keeps the per-step floor low
     upd = best_t < prev_t
-    t_ref[:] = jnp.where(upd, best_t, prev_t)
-    c_ref[:] = jnp.where(upd, best_c + jb * COL_BLOCK, c_ref[:])
-    payout_ref[:] = jnp.where(upd, blk_pay, payout_ref[:])
+    any_upd = jnp.any(upd)
+
+    @pl.when(any_upd)
+    def _commit():
+        iota_cb = jax.lax.broadcasted_iota(
+            jnp.int32, (rays.shape[0], COL_BLOCK), 1
+        )
+        onehot = (iota_cb == best_c).astype(jnp.float32)
+        blk_pay = jnp.dot(onehot, pay_ref[:],
+                          preferred_element_type=jnp.float32, precision=hp)
+        t_ref[:] = jnp.where(upd, best_t, prev_t)
+        c_ref[:] = jnp.where(upd, best_c + jb * COL_BLOCK, c_ref[:])
+        payout_ref[:] = jnp.where(upd, blk_pay, payout_ref[:])
 
 
 @functools.partial(

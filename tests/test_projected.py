@@ -101,12 +101,14 @@ def test_pallas_projected_matches_ref_interpret():
 
 
 def test_pallas_projected_multiblock_interpret():
-    # >512 columns forces the sequential p-block accumulation path
-    scene = _mixed_scene(500, 30, 300, seed=5)
+    from rust_pathtracer_tpu.ops.projected import COL_BLOCK
+
+    # > COL_BLOCK columns forces the sequential p-block accumulation
+    scene = _mixed_scene(1700, 30, 600, seed=5)
     tables = build_projected(
         scene.prims.kind, scene.prims.aux, scene.prims.data, scene.prims.mat
     )
-    assert tables.num_cols > 512
+    assert tables.num_cols > COL_BLOCK
     o, d = _rays(512, seed=13)
     h1, t1, pay1 = closest_hit_projected_ref(tables, o, d, 1e-3)
     h2, t2, pay2 = closest_hit_projected(tables, o, d, 1e-3, interpret=True)
