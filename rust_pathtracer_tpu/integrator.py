@@ -130,8 +130,12 @@ def search_and_record(scene, o, d, alive, differentiable=False):
             closest_hit_record_projected,
         )
 
+        # park dead lanes at an unhittable origin: their (stale) rays
+        # would otherwise keep vetoing the kernel's per-block cluster
+        # skips; results for dead lanes are masked out below anyway
+        o_live = vm.where(alive, o, jnp.full_like(o, 3.0e33))
         hit_mask, t, idx, rec, shade_row = closest_hit_record_projected(
-            scene, o, d, T_MIN
+            scene, o_live, d, T_MIN
         )
         hit_mask = hit_mask & alive
         rec = rec._replace(valid=hit_mask)
