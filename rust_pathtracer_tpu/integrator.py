@@ -247,15 +247,32 @@ def trace(
         # (HBM-bound otherwise: ~20 bounces x O(100B)/lane of residuals).
         # Exception: the discrete hit-search results (5 B/lane/bounce)
         # are saved so the expensive search itself is not re-run.
-        step = jax.checkpoint(
-            lambda state, bounce: _bounce_step(
+        import os
+
+        # RPT_REMAT: "names" (default) saves only the discrete search
+        # outputs; "dots" also saves matmul results (more memory, less
+        # recompute); "none" disables remat entirely (maximum memory)
+        mode = os.environ.get("RPT_REMAT", "names")
+        if mode == "none":
+            step = lambda state, bounce: _bounce_step(  # noqa: E731
                 scene, lane_keys, background, rr_start, state, bounce,
                 differentiable=True,
-            ),
-            policy=jax.checkpoint_policies.save_only_these_names(
-                "hit_mask", "hit_idx"
-            ),
-        )
+            )
+        else:
+            policy = (
+                jax.checkpoint_policies.save_anything_except_these_names()
+                if mode == "dots"
+                else jax.checkpoint_policies.save_only_these_names(
+                    "hit_mask", "hit_idx"
+                )
+            )
+            step = jax.checkpoint(
+                lambda state, bounce: _bounce_step(
+                    scene, lane_keys, background, rr_start, state, bounce,
+                    differentiable=True,
+                ),
+                policy=policy,
+            )
 
         def scan_body(state, bounce):
             return step(state, bounce), None
