@@ -249,29 +249,31 @@ def trace(
         # are saved so the expensive search itself is not re-run.
         import os
 
-        # RPT_REMAT: "names" (default) saves only the discrete search
-        # outputs; "dots" also saves matmul results (more memory, less
-        # recompute); "none" disables remat entirely (maximum memory)
-        mode = os.environ.get("RPT_REMAT", "names")
+        # Remat policy.  Measured on v5e (CornellBox 1M lanes x 20
+        # bounces): NO remat = 101.5 ms fwd+bwd vs 134 ms with the
+        # names policy — when the per-bounce residuals fit in HBM,
+        # saving everything beats recomputing shading.  "auto" (the
+        # default) disables remat up to ~24M lane-bounces (~7 GB of
+        # residuals) and falls back to the names policy beyond;
+        # RPT_REMAT overrides ("names" / "none").
+        mode = os.environ.get("RPT_REMAT", "auto")
+        if mode == "auto":
+            lane_bounces = origins.shape[0] * max_bounces
+            mode = "none" if lane_bounces <= 24_000_000 else "names"
         if mode == "none":
             step = lambda state, bounce: _bounce_step(  # noqa: E731
                 scene, lane_keys, background, rr_start, state, bounce,
                 differentiable=True,
             )
         else:
-            policy = (
-                jax.checkpoint_policies.save_anything_except_these_names()
-                if mode == "dots"
-                else jax.checkpoint_policies.save_only_these_names(
-                    "hit_mask", "hit_idx"
-                )
-            )
             step = jax.checkpoint(
                 lambda state, bounce: _bounce_step(
                     scene, lane_keys, background, rr_start, state, bounce,
                     differentiable=True,
                 ),
-                policy=policy,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "hit_mask", "hit_idx"
+                ),
             )
 
         def scan_body(state, bounce):
