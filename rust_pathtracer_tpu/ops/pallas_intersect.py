@@ -41,7 +41,11 @@ from jax.experimental.pallas import tpu as pltpu
 from rust_pathtracer_tpu.ops.intersect import T_MISS, TRI_DET_EPS
 from rust_pathtracer_tpu.scene.types import PRIM_RECT, PRIM_SPHERE, PRIM_TRIANGLE
 
-BLOCK_ROWS = 8          # rays per grid step = BLOCK_ROWS * 128
+import os as _os
+
+# rays per grid step = BLOCK_ROWS * 128; larger blocks amortize the
+# per-step scalar table reads (RPT_V1_BLOCK_ROWS to experiment)
+BLOCK_ROWS = int(_os.environ.get("RPT_V1_BLOCK_ROWS", "16"))
 # beyond this, the unrolled scalar-read sweep loses to the projected
 # (MXU matmul) sweep in ops/projected.py
 MAX_PALLAS_PRIMS = 128
