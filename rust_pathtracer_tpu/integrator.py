@@ -98,6 +98,30 @@ def _find_hit(scene, o, d, differentiable):
     return hit_mask, t, idx
 
 
+def _proj_interpret() -> bool:
+    """RPT_PROJ_INTERPRET=1 routes the projected sweep through the
+    Pallas interpreter so CPU tests can exercise the exact TPU search
+    path (kernel + payload shading + wavefront reordering)."""
+    import os
+
+    return os.environ.get("RPT_PROJ_INTERPRET", "0") == "1"
+
+
+def use_wavefront_reorder(scene, differentiable=False) -> bool:
+    """Static routing for between-bounce ray reordering (see trace)."""
+    if differentiable:
+        return False
+    from rust_pathtracer_tpu.ops.pallas_intersect import pallas_available
+
+    if not (pallas_available() or _proj_interpret()):
+        return False
+    if scene.kinds_static is not None or scene.proj is None:
+        return False
+    from rust_pathtracer_tpu.ops.projected import use_wavefront_reorder as uwr
+
+    return uwr(scene.proj)
+
+
 def search_and_record(scene, o, d, alive, differentiable=False):
     """Closest-hit search + HitRecord with per-backend kernel routing.
 
@@ -105,18 +129,24 @@ def search_and_record(scene, o, d, alive, differentiable=False):
     sweep (beyond), both returning the full record without gathers.
     Differentiable / CPU path: jnp search + one-hot record.
     Returns (hit_mask & alive, record with valid = that mask,
-    shade_row) — shade_row is the payload shading columns (R, 16) when
-    the projected kernel supplied them (so material/texture parameters
-    need no table lookups), else None.
+    shade_row, cluster) — shade_row is the payload shading columns
+    (R, 16) when the projected kernel supplied them (so material /
+    texture parameters need no table lookups), else None; cluster is
+    the winning 128-column cluster id from the projected sweep (the
+    integrator's reordering key), else None.
     """
     shade_row = None
+    cluster = None
     use_fused = use_proj = False
+    interp = False
     if not differentiable:
         from rust_pathtracer_tpu.ops.pallas_intersect import pallas_available
 
         if pallas_available():
             use_fused = scene.kinds_static is not None
             use_proj = not use_fused and scene.proj is not None
+        elif _proj_interpret() and scene.proj is not None:
+            use_proj, interp = scene.kinds_static is None, True
     if use_fused:
         from rust_pathtracer_tpu.ops.pallas_intersect import (
             closest_hit_record_pallas,
@@ -134,8 +164,9 @@ def search_and_record(scene, o, d, alive, differentiable=False):
         # would otherwise keep vetoing the kernel's per-block cluster
         # skips; results for dead lanes are masked out below anyway
         o_live = vm.where(alive, o, jnp.full_like(o, 3.0e33))
-        hit_mask, t, idx, rec, shade_row = closest_hit_record_projected(
-            scene, o_live, d, T_MIN
+        hit_mask, t, idx, rec, shade_row, cluster = (
+            closest_hit_record_projected(scene, o_live, d, T_MIN,
+                                         interpret=interp)
         )
         hit_mask = hit_mask & alive
         rec = rec._replace(valid=hit_mask)
@@ -145,19 +176,54 @@ def search_and_record(scene, o, d, alive, differentiable=False):
         rec = hit_record(
             scene.prims, idx, o, d, t, hit_mask, prim_types=scene.prim_types
         )
-    return hit_mask, rec, shade_row
+    return hit_mask, rec, shade_row, cluster
+
+
+def _reorder_wavefront(state, bounce):
+    """Sort the live wavefront by (previous-hit cluster, direction
+    octant) so the projected kernel's per-block cluster culling sees
+    homogeneous ray blocks — the TPU-native stand-in for the
+    reference's per-ray BVH pruning (bvh.rs:106-126).  Dead lanes sort
+    to the end, so whole blocks of them skip every sweep.  Per-lane
+    results are unchanged (each lane carries its RNG key and lane id);
+    only the wavefront layout moves.  Skipped at bounce 0: camera rays
+    are already pixel-coherent.
+    """
+    def do_sort(s):
+        d, alive, cluster = s["d"], s["alive"], s["cluster"]
+        iota = jnp.arange(alive.shape[0], dtype=jnp.int32)
+        octant = (
+            (d[:, 0] < 0).astype(jnp.int32) * 4
+            + (d[:, 1] < 0).astype(jnp.int32) * 2
+            + (d[:, 2] < 0).astype(jnp.int32)
+        )
+        key = jnp.where(alive, cluster * 8 + octant, np.int32(2 ** 30))
+        # lax.sort pairs, NOT jnp.argsort (argsort at 1M lanes wedged
+        # the remote TPU compile service; key/value sort runs in ~7 ms)
+        _, perm = jax.lax.sort((key, iota), num_keys=1)
+        return {
+            k: (v if k in ("segments", "occupancy") else v[perm])
+            for k, v in s.items()
+        }
+
+    return jax.lax.cond(bounce > 0, do_sort, lambda s: s, state)
 
 
 def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
-                 differentiable=False):
-    o, d, thr, rad, alive, segments, occupancy = state
+                 differentiable=False, reorder=False):
+    if reorder:
+        state = _reorder_wavefront(state, bounce)
+        lane_keys = state["lkeys"]
+    o, d, thr, rad = state["o"], state["d"], state["thr"], state["rad"]
+    alive = state["alive"]
     n_alive = jnp.sum(alive.astype(jnp.float32))
-    segments = segments + n_alive
+    segments = state["segments"] + n_alive
     occupancy = jax.lax.dynamic_update_slice(
-        occupancy, n_alive[None], (jnp.minimum(bounce, MAX_BOUNCE_STATS - 1),)
+        state["occupancy"], n_alive[None],
+        (jnp.minimum(bounce, MAX_BOUNCE_STATS - 1),),
     )
 
-    hit_mask, rec, shade_row = search_and_record(
+    hit_mask, rec, shade_row, cluster = search_and_record(
         scene, o, d, alive, differentiable
     )
     si = shade_inputs(scene, rec, shade_row)
@@ -202,7 +268,15 @@ def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
     thr, alive = jax.lax.cond(
         bounce >= rr_start, roulette, lambda args: args, (thr, alive)
     )
-    return (o, d, thr, rad, alive, segments, occupancy)
+    out = dict(
+        state,
+        o=o, d=d, thr=thr, rad=rad, alive=alive,
+        segments=segments, occupancy=occupancy,
+    )
+    if reorder:
+        out["cluster"] = jnp.where(hit_mask, cluster, 0)
+        out["lkeys"] = lane_keys
+    return out
 
 
 def trace(
@@ -231,15 +305,20 @@ def trace(
     # sees matching carry types on both sides of the loop
     zeros3 = origins * 0.0
     zero_scalar = jnp.sum(zeros3[..., 0])
-    init = (
-        origins,
-        directions,
-        zeros3 + 1.0,                       # throughput
-        zeros3,                             # radiance
-        zeros3[..., 0] == 0.0,              # alive (origins are finite)
-        zero_scalar,                        # segment counter
-        zero_scalar + jnp.zeros((MAX_BOUNCE_STATS,), jnp.float32),  # occupancy
+    zero_lane = (zeros3[..., 0] == 1.0).astype(jnp.int32)  # all-zero i32
+    init = dict(
+        o=origins,
+        d=directions,
+        thr=zeros3 + 1.0,
+        rad=zeros3,
+        alive=zeros3[..., 0] == 0.0,        # alive (origins are finite)
+        segments=zero_scalar,
+        occupancy=zero_scalar + jnp.zeros((MAX_BOUNCE_STATS,), jnp.float32),
     )
+    reorder = use_wavefront_reorder(scene, differentiable)
+    if reorder:
+        lane = zero_lane + np.arange(origins.shape[0], dtype=np.int32)
+        init.update(cluster=zero_lane, lane=lane, lkeys=lane_keys)
 
     if differentiable:
         # remat each bounce: the backward sweep recomputes the bounce
@@ -286,18 +365,24 @@ def trace(
     else:
         def cond(carry):
             bounce, state = carry
-            return (bounce < max_bounces) & jnp.any(state[4])
+            return (bounce < max_bounces) & jnp.any(state["alive"])
 
         def body(carry):
             bounce, state = carry
             return (
                 bounce + 1,
-                _bounce_step(scene, lane_keys, background, rr_start, state, bounce),
+                _bounce_step(scene, lane_keys, background, rr_start, state,
+                             bounce, reorder=reorder),
             )
 
         bounces_done, state = jax.lax.while_loop(cond, body, (jnp.int32(0), init))
 
-    _, _, _, rad, _, segments, occupancy = state
+    rad = state["rad"]
+    if reorder:
+        # the wavefront was re-sorted between bounces; one scatter puts
+        # per-lane radiance back in caller order (lane ids are unique)
+        rad = jnp.zeros_like(rad).at[state["lane"]].set(rad)
     return rad, TraceStats(
-        segments=segments, bounces=bounces_done, occupancy=occupancy
+        segments=state["segments"], bounces=bounces_done,
+        occupancy=state["occupancy"],
     )

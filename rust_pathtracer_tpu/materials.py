@@ -77,7 +77,8 @@ def shade_inputs(scene, hit: HitRecord, shade_row=None) -> ShadeInputs:
         )
         value = (
             eval_texture(
-                scene.textures, tex, hit.u, hit.v, hit.point, scene.tex_types
+                scene.textures, tex, hit.u, hit.v, hit.point, scene.tex_types,
+                checker_depth=scene.checker_depth,
             )
             if needs_value
             else jnp.zeros_like(hit.point)

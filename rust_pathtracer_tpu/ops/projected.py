@@ -70,6 +70,12 @@ BLOCK_ROWS = 4
 # per-grid-step floor (~9 us measured) over more clusters, and the
 # per-cluster sweeps inside are pl.when-skipped independently
 COL_BLOCK = 2048
+# when ALL columns fit one VMEM-resident block (a+b+const+payload at
+# 16384 cols ~ 5.8 MB of a ~16 MB VMEM), collapse the p-block grid
+# dimension entirely: tables load once, the ~9 us grid-step floor is
+# paid once per ray block instead of once per (ray block, p block),
+# and every 128-column cluster skips independently under pl.when
+MAX_SINGLE_COLS = 16384
 
 # payload column layout:
 #   0-11  Primitives.data row
@@ -116,6 +122,11 @@ class ProjTables:
     shade_ready: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
+    # primitive columns per kernel grid step (== num_cols when the
+    # whole table is VMEM-resident in a single p-block)
+    col_block: int = dataclasses.field(
+        default=COL_BLOCK, metadata=dict(static=True)
+    )
 
     @property
     def num_cols(self) -> int:
@@ -126,7 +137,8 @@ def _pad_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def build_projected(kind, aux, data, mat, mats=None, texs=None) -> ProjTables:
+def build_projected(kind, aux, data, mat, mats=None, texs=None,
+                    max_single_cols=MAX_SINGLE_COLS) -> ProjTables:
     """Host-side (numpy) table build from flattened primitive arrays.
 
     ``mats``: optional (kind, tex, fuzz, ir) material arrays and
@@ -134,6 +146,11 @@ def build_projected(kind, aux, data, mat, mats=None, texs=None) -> ProjTables:
     when given, payload columns 16-31 carry each primitive's flattened
     shading row (see PAY_* layout) and ``shade_ready`` is set if every
     checker child is a solid leaf.
+
+    ``max_single_cols``: scenes whose padded column count fits run as
+    one VMEM-resident p-block (col_block == num_cols); larger scenes
+    stream COL_BLOCK-column blocks (tests pass a small value to force
+    the streaming path).
     """
     kind = np.asarray(kind)
     aux = np.asarray(aux)
@@ -151,7 +168,12 @@ def build_projected(kind, aux, data, mat, mats=None, texs=None) -> ProjTables:
         order.extend(int(i) for i in idxs)
         order.extend([-1] * (n_pad - len(idxs)))
         group_kinds.extend([tk] * (n_pad // GROUP))
-    C = _pad_up(max(len(order), 1), COL_BLOCK)
+    C = _pad_up(max(len(order), 1), GROUP)
+    if C > max_single_cols:
+        C = _pad_up(C, COL_BLOCK)
+        col_block = COL_BLOCK
+    else:
+        col_block = C
     while len(order) < C:
         order.append(-1)
         if len(order) % GROUP == 0:
@@ -282,6 +304,7 @@ def build_projected(kind, aux, data, mat, mats=None, texs=None) -> ProjTables:
         cluster_bounds=jnp.asarray(cb, jnp.float32),
         group_kinds=tuple(group_kinds),
         shade_ready=shade_ready,
+        col_block=col_block,
     )
 
 
@@ -395,7 +418,7 @@ def closest_hit_projected_ref(tables: ProjTables, o, d, t_min):
 # ---------------------------------------------------------------------------
 # Pallas kernel
 # ---------------------------------------------------------------------------
-def _kernel(group_kinds, t_min, n_pblocks,
+def _kernel(group_kinds, t_min, n_pblocks, col_block,
             rays_ref, a_ref, b_ref, k_ref, pay_ref, cb_ref,
             t_ref, c_ref, payout_ref, st_ref, sc_ref):
     """Grid (ray_blocks, p_blocks); p minor => sequential running min.
@@ -432,7 +455,7 @@ def _kernel(group_kinds, t_min, n_pblocks,
     inv_d = 1.0 / dsafe
 
     kconst = k_ref[:]  # (8, CB)
-    ngrp = COL_BLOCK // GROUP
+    ngrp = col_block // GROUP
 
     best_t = None
     best_c = None
@@ -542,43 +565,46 @@ def _kernel(group_kinds, t_min, n_pblocks,
     @pl.when(any_upd)
     def _commit():
         iota_cb = jax.lax.broadcasted_iota(
-            jnp.int32, (rays.shape[0], COL_BLOCK), 1
+            jnp.int32, (rays.shape[0], col_block), 1
         )
         onehot = (iota_cb == best_c).astype(jnp.float32)
         blk_pay = jnp.dot(onehot, pay_ref[:],
                           preferred_element_type=jnp.float32, precision=hp)
         t_ref[:] = jnp.where(upd, best_t, prev_t)
-        c_ref[:] = jnp.where(upd, best_c + jb * COL_BLOCK, c_ref[:])
+        c_ref[:] = jnp.where(upd, best_c + jb * col_block, c_ref[:])
         payout_ref[:] = jnp.where(upd, blk_pay, payout_ref[:])
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("group_kinds", "t_min", "block_rows", "interpret"),
+    static_argnames=(
+        "group_kinds", "t_min", "block_rows", "interpret", "col_block",
+    ),
 )
 def _closest_hit_projected(rays, a, b, const, payload, cbounds, *,
                            group_kinds, t_min, block_rows=BLOCK_ROWS,
-                           interpret=False):
+                           interpret=False, col_block=COL_BLOCK):
     R8 = rays.shape[0]
     C = a.shape[-1]
-    n_pblocks = C // COL_BLOCK
+    n_pblocks = C // col_block
     rb = block_rows * 128
     grid = (R8 // rb, n_pblocks)
 
-    kernel = functools.partial(_kernel, group_kinds, t_min, n_pblocks)
+    kernel = functools.partial(_kernel, group_kinds, t_min, n_pblocks,
+                               col_block)
     t, c, pay = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((rb, 8), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 8, COL_BLOCK), lambda i, j: (0, 0, j),
+            pl.BlockSpec((3, 8, col_block), lambda i, j: (0, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 8, COL_BLOCK), lambda i, j: (0, 0, j),
+            pl.BlockSpec((3, 8, col_block), lambda i, j: (0, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, COL_BLOCK), lambda i, j: (0, j),
+            pl.BlockSpec((8, col_block), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((COL_BLOCK, PAY_W), lambda i, j: (j, 0),
+            pl.BlockSpec((col_block, PAY_W), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             # whole cluster-bounds table as scalars (C/GROUP is small)
             pl.BlockSpec(cbounds.shape, lambda i, j: (0, 0),
@@ -606,16 +632,95 @@ def _closest_hit_projected(rays, a, b, const, payload, cbounds, *,
     return t[:, 0], c[:, 0], pay
 
 
+# ---------------------------------------------------------------------------
+# Ray binning: sort rays by nearest-entry cluster between bounces
+# ---------------------------------------------------------------------------
+def cluster_entry_key(cluster_bounds, o, d, t_min):
+    """Primary-cluster key per ray: the index of the cluster AABB with
+    the nearest slab-test entry t (bvh.rs:18-35 semantics), or G (the
+    number of clusters) when the ray enters none — so rays that will
+    miss everything (including parked dead lanes) sort to the end.
+
+    cluster_bounds: (6, G) min-xyz / max-xyz; o, d: (R, 3).
+    Returns int32 (R,) in [0, G].
+    """
+    tiny = np.float32(1e-30)
+    dsafe = jnp.where(jnp.abs(d) < tiny, jnp.where(d < 0.0, -tiny, tiny), d)
+    inv_d = 1.0 / dsafe
+    G = cluster_bounds.shape[1]
+    lo = jnp.full((o.shape[0], G), np.float32(t_min))
+    hi = jnp.full((o.shape[0], G), T_MISS)
+    for ax in range(3):
+        b0 = (cluster_bounds[ax][None, :] - o[:, ax:ax + 1]) * inv_d[:, ax:ax + 1]
+        b1 = (cluster_bounds[3 + ax][None, :] - o[:, ax:ax + 1]) * inv_d[:, ax:ax + 1]
+        lo = jnp.maximum(lo, jnp.minimum(b0, b1))
+        hi = jnp.minimum(hi, jnp.maximum(b0, b1))
+    entry = jnp.where(hi >= lo, lo, T_MISS)
+    best = jnp.min(entry, axis=1)
+    key = jnp.argmin(entry, axis=1).astype(jnp.int32)
+    return jnp.where(best < T_MISS, key, np.int32(G))
+
+
+def closest_hit_projected_binned(tables: ProjTables, o, d, t_min,
+                                 interpret=False, block_rows=None):
+    """Projected sweep over rays SORTED by primary cluster.
+
+    Per-ray results are independent of wavefront order (the kernel's
+    cluster culling is conservative), so this returns bitwise-identical
+    (hit, t, payload) to the unsorted sweep — but sorted ray blocks are
+    cluster-homogeneous, so the in-kernel ``pl.when`` skips most of the
+    O(rays x prims) work.  This is the TPU-native analog of the
+    reference's BVH pruning (bvh.rs:106-126): the tree walk becomes
+    sort + mostly-skipped dense sweeps.
+    """
+    R = o.shape[0]
+    key = cluster_entry_key(tables.cluster_bounds, o, d, t_min)
+    iota = jnp.arange(R, dtype=jnp.int32)
+    # lax.sort pairs, NOT jnp.argsort (argsort at 1M lanes wedged the
+    # remote TPU compile service; key/value sort compiles fine)
+    _, perm = jax.lax.sort((key, iota), num_keys=1)
+    hit_s, t_s, pay_s = closest_hit_projected(
+        tables, o[perm], d[perm], t_min, interpret, block_rows
+    )
+    # scatter results back to original lane order (unique indices)
+    hit = jnp.zeros((R,), jnp.bool_).at[perm].set(hit_s)
+    t = jnp.full((R,), T_MISS, jnp.float32).at[perm].set(t_s)
+    pay = jnp.zeros((R, PAY_W), jnp.float32).at[perm].set(pay_s)
+    return hit, t, pay
+
+
+def use_wavefront_reorder(tables: ProjTables) -> bool:
+    """Static routing: sort the wavefront by cluster between bounces
+    when the scene has enough real clusters for homogeneous ray blocks
+    to skip meaningful sweep work (RPT_BIN=0/1 overrides).  The sort
+    itself lives in the integrator (integrator.trace) so state moves
+    once per bounce instead of per search call."""
+    import os
+
+    mode = os.environ.get("RPT_BIN", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    n_real = sum(1 for k in tables.group_kinds if k != -1)
+    return n_real >= 4
+
+
 def closest_hit_record_projected(scene, o, d, t_min, interpret=False):
     """Projected sweep + full HitRecord from the in-kernel payload.
 
     Drop-in peer of pallas_intersect.closest_hit_record_pallas for
     scenes too large for the unrolled v1 sweep.  Non-differentiable
     (the integrator uses it on the detached forward path only).
+    Returns (hit, t, idx, rec, shade_row, cluster): ``cluster`` is the
+    winning 128-column cluster id (int32, junk on miss lanes) — the
+    integrator's between-bounce reordering key.
     """
     from rust_pathtracer_tpu.ops.intersect import record_from_rows
 
-    hit, t, pay = closest_hit_projected(scene.proj, o, d, t_min, interpret)
+    hit, t, pay, col = closest_hit_projected(
+        scene.proj, o, d, t_min, interpret, with_column=True
+    )
     kind = jnp.round(pay[:, PAY_KIND]).astype(jnp.int32)
     aux = jnp.round(pay[:, PAY_AUX]).astype(jnp.int32)
     mat = jnp.round(pay[:, PAY_MAT]).astype(jnp.int32)
@@ -626,12 +731,14 @@ def closest_hit_record_projected(scene, o, d, t_min, interpret=False):
         prim_types=scene.prim_types,
     )
     shade_row = pay[:, PAY_MKIND:] if scene.proj.shade_ready else None
-    return hit, t_safe, idx, rec, shade_row
+    cluster = jnp.where(col >= 0, col // GROUP, 0).astype(jnp.int32)
+    return hit, t_safe, idx, rec, shade_row, cluster
 
 
 def closest_hit_projected(tables: ProjTables, o, d, t_min, interpret=False,
-                          block_rows=None):
-    """Pallas projected sweep.  Returns (hit, t, payload (R, PAY_W))."""
+                          block_rows=None, with_column=False):
+    """Pallas projected sweep.  Returns (hit, t, payload (R, PAY_W))
+    (plus the winning global column, -1 on miss, when ``with_column``)."""
     import os
 
     if block_rows is None:
@@ -646,7 +753,11 @@ def closest_hit_projected(tables: ProjTables, o, d, t_min, interpret=False,
         tables.cluster_bounds,
         group_kinds=tables.group_kinds, t_min=float(t_min),
         block_rows=block_rows, interpret=interpret,
+        col_block=tables.col_block,
     )
     t, c, pay = t[:R], c[:R], pay[:R]
     hit = c >= 0
-    return hit, jnp.where(hit, t, T_MISS), pay
+    t = jnp.where(hit, t, T_MISS)
+    if with_column:
+        return hit, t, pay, c
+    return hit, t, pay

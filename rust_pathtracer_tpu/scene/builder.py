@@ -81,14 +81,17 @@ class SceneBuilder:
         return self._push_tex(TEX_SOLID, color=color)
 
     def checker_texture(self, odd: int, even: int, frequency: float = 10.0) -> int:
-        """CheckerTexture over two *leaf* texture ids (texture.rs:25-45).
+        """CheckerTexture over two texture ids (texture.rs:25-45).
 
         sign(sin(f x) sin(f y) sin(f z)) < 0 selects ``odd``; the
-        reference hard-codes f = 10.
+        reference hard-codes f = 10.  Children may be ANY texture —
+        including other checkers (texture.rs takes Box<dyn Texture>);
+        nesting depth is resolved statically at build time and the
+        evaluator unrolls that many child-resolution steps.
         """
         for child in (odd, even):
-            if self._tex_kind[child] == TEX_CHECKER:
-                raise ValueError("checker children must be leaf textures")
+            if not 0 <= child < len(self._tex_kind):
+                raise ValueError(f"unknown child texture id {child}")
         return self._push_tex(TEX_CHECKER, child=(odd, even), scale=frequency)
 
     def perlin_texture(self, scale: float) -> int:
@@ -383,10 +386,21 @@ class SceneBuilder:
                 ),
             )
 
+        # static checker nesting depth: how many child-resolution steps
+        # the evaluator must unroll (texture ids only reference earlier
+        # ids, so this terminates; 1 for the reference scenes)
+        checker_depth = 0
+        depth_of = []
+        for k, (c0, c1) in zip(self._tex_kind, self._tex_child):
+            d = 1 + max(depth_of[c0], depth_of[c1]) if k == TEX_CHECKER else 0
+            depth_of.append(d)
+            checker_depth = max(checker_depth, d)
+
         return SceneData(
             leaf_size=int(leaf_size) if use_bvh else 0,
             prim_types=tuple(sorted(set(int(k) for k in prim_kind))),
             tex_types=tuple(sorted(set(self._tex_kind))) if self._tex_kind else (),
+            checker_depth=checker_depth,
             mat_types=tuple(sorted(set(self._mat_kind))),
             kinds_static=(
                 tuple(

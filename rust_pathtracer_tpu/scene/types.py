@@ -112,6 +112,9 @@ class SceneData:
         default=(TEX_SOLID, TEX_CHECKER, TEX_PERLIN, TEX_IMAGE),
         metadata=dict(static=True),
     )
+    # max checker nesting depth (texture.rs children are Box<dyn
+    # Texture>): the evaluator unrolls this many child resolutions
+    checker_depth: int = dataclasses.field(default=1, metadata=dict(static=True))
     mat_types: Tuple[int, ...] = dataclasses.field(
         default=(MAT_LAMBERTIAN, MAT_METAL, MAT_DIELECTRIC, MAT_LIGHT),
         metadata=dict(static=True),

@@ -25,12 +25,16 @@ from rust_pathtracer_tpu.scene.types import (
 )
 
 
-def eval_texture(textures: Textures, tex_id, u, v, point, tex_types=None):
+def eval_texture(textures: Textures, tex_id, u, v, point, tex_types=None,
+                 checker_depth=1):
     """value(u, v, p) for per-lane texture ids.
 
     tex_id: (R,) int32; u, v: (R,); point: (R, 3).  Returns (R, 3).
     ``tex_types`` (static) skips branches for texture kinds the scene
-    does not contain.
+    does not contain; ``checker_depth`` (static) is the scene's max
+    checker nesting depth — each unrolled step resolves one level of
+    child indirection (texture.rs:25-45 children are Box<dyn Texture>,
+    so arbitrary nesting is expressible).
     """
     types = tex_types if tex_types is not None else (0, 1, 2, 3)
     kind, scale, child = table.lookup(
@@ -38,13 +42,16 @@ def eval_texture(textures: Textures, tex_id, u, v, point, tex_types=None):
     )
 
     if TEX_CHECKER in types:
-        # sines = sin(f x) sin(f y) sin(f z); < 0 -> odd child
-        # (texture.rs:38-44; the reference hard-codes f = 10).
-        s = jnp.sin(scale[..., None] * point)
-        sines = s[..., 0] * s[..., 1] * s[..., 2]
-        picked = jnp.where(sines < 0.0, child[..., 0], child[..., 1])
-        tex_id = jnp.where(kind == TEX_CHECKER, picked, tex_id)
-        kind, scale = table.lookup(tex_id, textures.kind, textures.scale)
+        for _ in range(max(checker_depth, 1)):
+            # sines = sin(f x) sin(f y) sin(f z); < 0 -> odd child
+            # (texture.rs:38-44; the reference hard-codes f = 10).
+            s = jnp.sin(scale[..., None] * point)
+            sines = s[..., 0] * s[..., 1] * s[..., 2]
+            picked = jnp.where(sines < 0.0, child[..., 0], child[..., 1])
+            tex_id = jnp.where(kind == TEX_CHECKER, picked, tex_id)
+            kind, scale, child = table.lookup(
+                tex_id, textures.kind, textures.scale, textures.child
+            )
 
     out = jnp.zeros(point.shape, point.dtype)
 

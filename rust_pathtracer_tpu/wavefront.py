@@ -117,7 +117,7 @@ def render_radiance_regen(
         alive, depth, lkeys = s["alive"], s["depth"], s["lkeys"]
         segments = s["segments"] + jnp.sum(alive.astype(jnp.float32))
 
-        hit_mask, rec, shade_row = search_and_record(scene, o, d, alive)
+        hit_mask, rec, shade_row, _cluster = search_and_record(scene, o, d, alive)
         si = shade_inputs(scene, rec, shade_row)
 
         miss = alive & ~hit_mask

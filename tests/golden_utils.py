@@ -1,0 +1,56 @@
+"""Golden-image regression anchors.
+
+Small fixed-key renders of every judging scene on the deterministic CPU
+path, committed as .npy artifacts (tests/goldens/).  Counter-based RNG
+makes the renderer bitwise reproducible for a fixed configuration, so
+any energy / orientation / texture-phase drift (renderer.rs:21-33
+contract) turns into an exact-array test failure.  Regenerate
+consciously with tools/gen_goldens.py after an intended change.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+# name -> (scene kwargs, width, height, spp, max_bounces)
+GOLDEN_CONFIGS = {
+    "TwoSphereCheckers": ({}, 64, 36, 16, 8),
+    "LightTest": ({}, 64, 36, 16, 12),
+    "CornellBox": ({}, 64, 64, 16, 12),
+    "TriangleTest": ({}, 64, 64, 16, 12),
+    "SphereField": ({}, 64, 36, 8, 8),
+    "ModelTest": ({"obj_path": None}, 64, 64, 8, 8),
+}
+
+
+def render_golden(name: str):
+    """Render one golden config; returns (H, W, 3) f32 numpy."""
+    import jax
+    import numpy as np
+
+    from rust_pathtracer_tpu.models import get_scene
+    from rust_pathtracer_tpu.render import RenderSettings, render_radiance
+
+    kw, w, h, spp, nb = GOLDEN_CONFIGS[name]
+    kw = dict(kw)
+    if "obj_path" in kw:
+        from rust_pathtracer_tpu.scene.obj_loader import write_benchmark_obj
+
+        path = os.path.join(tempfile.mkdtemp(), "golden_model.obj")
+        write_benchmark_obj(path)
+        kw["obj_path"] = path
+    sd = get_scene(name, **kw)
+    scene = sd.build()
+    cam = sd.camera_at(0.0)
+    settings = RenderSettings(
+        w, h, spp, nb, sd.output.image.background, spp_chunk=spp
+    )
+    img, _ = render_radiance(scene, cam, settings, jax.random.PRNGKey(1234))
+    return np.asarray(img)
+
+
+def golden_path(name: str) -> str:
+    return os.path.join(GOLDEN_DIR, f"{name}.npy")

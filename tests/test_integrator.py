@@ -123,3 +123,65 @@ def test_russian_roulette_unbiased():
     m1, m2 = float(np.asarray(r1).mean()), float(np.asarray(r2).mean())
     assert abs(m1 - m2) / m1 < 0.05
     assert float(s2.segments) < float(s1.segments)  # RR saved work
+
+
+def _cluster_scene(n=600, seed=44):
+    """Enough spheres for >=4 projected clusters (reorder auto-on)."""
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    mats = [
+        b.lambertian((0.6, 0.3, 0.3)),
+        b.metal((0.8, 0.8, 0.8), 0.2),
+        b.dielectric(1.5),
+        b.diffuse_light((4.0, 4.0, 4.0)),
+    ]
+    for i in range(n):
+        b.add_sphere(rng.uniform(-12, 12, 3), rng.uniform(0.3, 0.9),
+                     mats[int(rng.integers(len(mats)))])
+    return b.build(use_bvh=False)
+
+
+def test_wavefront_reorder_equivalence(monkeypatch):
+    """Between-bounce ray reordering must not change the estimator.
+
+    Both runs go through the projected search (Pallas interpreter);
+    the only deltas allowed are the interpreter's row-position FMA
+    jitter (~1e-5 on t), so per-lane radiance must agree for almost
+    every lane and in the mean.
+    """
+    from rust_pathtracer_tpu import integrator
+
+    scene = _cluster_scene()
+    assert scene.proj is not None
+    n = 2048
+    rng = np.random.default_rng(9)
+    o = jnp.asarray(rng.uniform(-14, 14, (n, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    keys = _lane_keys(n, seed=3)
+
+    monkeypatch.setenv("RPT_PROJ_INTERPRET", "1")
+    monkeypatch.setenv("RPT_BIN", "0")
+    assert not integrator.use_wavefront_reorder(scene)
+    rad0, st0 = trace(scene, o, d, keys, (0.7, 0.8, 1.0), max_bounces=6)
+    monkeypatch.setenv("RPT_BIN", "1")
+    assert integrator.use_wavefront_reorder(scene)
+    rad1, st1 = trace(scene, o, d, keys, (0.7, 0.8, 1.0), max_bounces=6)
+
+    assert float(st0.segments) == float(st1.segments)
+    r0, r1 = np.asarray(rad0), np.asarray(rad1)
+    close = np.all(np.isclose(r0, r1, rtol=1e-3, atol=1e-3), axis=-1)
+    assert close.mean() > 0.995, close.mean()
+    np.testing.assert_allclose(r0.mean(axis=0), r1.mean(axis=0), rtol=2e-3)
+
+
+def test_wavefront_reorder_auto_routing(monkeypatch):
+    from rust_pathtracer_tpu import integrator
+
+    monkeypatch.setenv("RPT_PROJ_INTERPRET", "1")
+    monkeypatch.delenv("RPT_BIN", raising=False)
+    big = _cluster_scene(600)     # 5 clusters -> auto on
+    small = _cluster_scene(200)   # 2 clusters -> auto off
+    assert integrator.use_wavefront_reorder(big)
+    assert not integrator.use_wavefront_reorder(small)
+    # never in differentiable mode (search detaches through jnp there)
+    assert not integrator.use_wavefront_reorder(big, differentiable=True)

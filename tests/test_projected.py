@@ -103,12 +103,14 @@ def test_pallas_projected_matches_ref_interpret():
 def test_pallas_projected_multiblock_interpret():
     from rust_pathtracer_tpu.ops.projected import COL_BLOCK
 
-    # > COL_BLOCK columns forces the sequential p-block accumulation
+    # force the streaming path (max_single_cols below the column count)
+    # so the sequential p-block accumulation is exercised
     scene = _mixed_scene(1700, 30, 600, seed=5)
     tables = build_projected(
-        scene.prims.kind, scene.prims.aux, scene.prims.data, scene.prims.mat
+        scene.prims.kind, scene.prims.aux, scene.prims.data, scene.prims.mat,
+        max_single_cols=COL_BLOCK,
     )
-    assert tables.num_cols > COL_BLOCK
+    assert tables.num_cols > COL_BLOCK and tables.col_block == COL_BLOCK
     o, d = _rays(512, seed=13)
     h1, t1, pay1 = closest_hit_projected_ref(tables, o, d, 1e-3)
     h2, t2, pay2 = closest_hit_projected(tables, o, d, 1e-3, interpret=True)
@@ -156,7 +158,7 @@ def test_record_projected_matches_jnp_record(monkeypatch):
         scene.prims, i1, o, d, jnp.where(h1, t1, 1.0), h1,
         prim_types=scene.prim_types,
     )
-    h2, t2, i2, rec2, _ = proj_mod.closest_hit_record_projected(
+    h2, t2, i2, rec2, _, _cl = proj_mod.closest_hit_record_projected(
         scene, o, d, 1e-3, interpret=True
     )
     both = np.asarray(h1) & np.asarray(h2)
@@ -226,7 +228,7 @@ def test_payload_shading_matches_table_shading():
     assert scene.proj is not None and scene.proj.shade_ready
 
     o, d = _rays(512, seed=41)
-    hit, t, idx, rec, shade_row = proj_mod.closest_hit_record_projected(
+    hit, t, idx, rec, shade_row, _cl = proj_mod.closest_hit_record_projected(
         scene, o, d, 1e-3, interpret=True
     )
     assert shade_row is not None
@@ -245,4 +247,92 @@ def test_payload_shading_matches_table_shading():
     np.testing.assert_allclose(
         np.asarray(si_pay.value)[hm], np.asarray(si_tab.value)[hm],
         rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_binned_matches_unbinned():
+    """Sorting rays by cluster must not change any per-ray decision.
+
+    Hits and winning primitives must agree exactly; t only to ~1e-4
+    relative, because XLA:CPU's fused interpret-mode matmul contracts
+    with different FMA alignment depending on a row's position inside
+    the SIMD panel (measured ~2e-5 relative jitter under permutation —
+    the TPU MXU streams each row identically, so this is an interpret-
+    mode artifact, not a property of the binned path).
+    """
+    from rust_pathtracer_tpu.ops.projected import (
+        closest_hit_projected_binned,
+    )
+
+    scene = _mixed_scene(1700, 30, 600, seed=5)  # multi p-block
+    tables = build_projected(
+        scene.prims.kind, scene.prims.aux, scene.prims.data, scene.prims.mat
+    )
+    o, d = _rays(913, seed=23)
+    # park some lanes the way the integrator parks dead ones
+    on = np.array(o)
+    on[::7] = 3.0e33
+    o = jnp.asarray(on)
+    h1, t1, pay1 = closest_hit_projected(tables, o, d, 1e-3, interpret=True)
+    h2, t2, pay2 = closest_hit_projected_binned(
+        tables, o, d, 1e-3, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    hm = np.asarray(h1)
+    i1 = np.rint(np.asarray(pay1[:, PAY_IDX])).astype(np.int64)
+    i2 = np.rint(np.asarray(pay2[:, PAY_IDX])).astype(np.int64)
+    np.testing.assert_array_equal(i1[hm], i2[hm])
+    np.testing.assert_array_equal(np.asarray(pay1)[hm], np.asarray(pay2)[hm])
+    np.testing.assert_allclose(
+        np.asarray(t1)[hm], np.asarray(t2)[hm], rtol=1e-4, atol=5e-5
+    )
+
+
+def test_cluster_entry_key_sanity():
+    from rust_pathtracer_tpu.ops.projected import GROUP, cluster_entry_key
+
+    scene = _mixed_scene(300, 0, 0, seed=6)
+    tables = build_projected(
+        scene.prims.kind, scene.prims.aux, scene.prims.data, scene.prims.mat
+    )
+    G = tables.cluster_bounds.shape[1]
+    o, d = _rays(512, seed=29)
+    key = np.asarray(cluster_entry_key(tables.cluster_bounds, o, d, 1e-3))
+    assert key.min() >= 0 and key.max() <= G
+    # a parked (dead) lane must get the miss key
+    o_dead = jnp.full((4, 3), 3.0e33, jnp.float32)
+    kd = np.asarray(cluster_entry_key(tables.cluster_bounds, o_dead, d[:4], 1e-3))
+    np.testing.assert_array_equal(kd, G)
+    # a ray aimed straight at a known primitive must key to its cluster
+    ctr = np.asarray(scene.prims.data)[0, 0:3]
+    o1 = jnp.asarray((ctr + np.array([0.0, 0.0, 30.0]))[None, :], jnp.float32)
+    d1 = jnp.asarray(np.array([[0.0, 0.0, -1.0]]), jnp.float32)
+    k1 = int(cluster_entry_key(tables.cluster_bounds, o1, d1, 1e-3)[0])
+    pay = np.asarray(tables.payload)
+    col = int(np.nonzero(np.rint(pay[:, 15]).astype(int) == 0)[0][0])
+    # nearest-entry cluster: at minimum it must be a real (hittable) one
+    assert k1 < G
+
+
+def test_single_pblock_whole_table_matches_streamed():
+    """The VMEM-resident single-p-block layout (default for <=16384
+    cols) must agree with the streamed COL_BLOCK layout."""
+    from rust_pathtracer_tpu.ops.projected import COL_BLOCK
+
+    scene = _mixed_scene(1700, 30, 600, seed=5)
+    args = (scene.prims.kind, scene.prims.aux, scene.prims.data,
+            scene.prims.mat)
+    t_single = build_projected(*args)
+    t_stream = build_projected(*args, max_single_cols=COL_BLOCK)
+    assert t_single.col_block == t_single.num_cols
+    o, d = _rays(777, seed=31)
+    h1, t1, pay1 = closest_hit_projected(t_single, o, d, 1e-3, interpret=True)
+    h2, t2, pay2 = closest_hit_projected(t_stream, o, d, 1e-3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    hm = np.asarray(h1)
+    i1 = np.rint(np.asarray(pay1[:, PAY_IDX])).astype(np.int64)
+    i2 = np.rint(np.asarray(pay2[:, PAY_IDX])).astype(np.int64)
+    np.testing.assert_array_equal(i1[hm], i2[hm])
+    np.testing.assert_allclose(
+        np.asarray(t1)[hm], np.asarray(t2)[hm], rtol=1e-4, atol=5e-5
     )
