@@ -161,9 +161,24 @@ def main(argv=None) -> int:
                     scene = (
                         sd.build(use_bvh=use_bvh) if args.scene_json else sd.build()
                     )
+            # per-frame checkpoint file for animations: a crash resumes
+            # at the interrupted frame's completed chunks (the reference
+            # restarts the whole frame; partial frames lose everything,
+            # main.rs panics on any error)
+            ckpt_path = args.checkpoint
+            if ckpt_path and frames > 1:
+                ckpt_path = f"{ckpt_path}.frame{frame:04d}"
             t0 = time.perf_counter()
             with timer.stage("render"):
-                if mesh is not None:
+                if mesh is not None and ckpt_path:
+                    from rust_pathtracer_tpu.utils.checkpoint import (
+                        render_radiance_sharded_checkpointed,
+                    )
+
+                    img, stats = render_radiance_sharded_checkpointed(
+                        scene, cam, settings, key, mesh, ckpt_path
+                    )
+                elif mesh is not None:
                     from rust_pathtracer_tpu.parallel import render_radiance_sharded
 
                     img, stats = render_radiance_sharded(
@@ -175,13 +190,13 @@ def main(argv=None) -> int:
                     img, stats = render_radiance_regen(
                         scene, cam, settings, key, lanes=args.lanes
                     )
-                elif args.checkpoint and frames == 1:
+                elif ckpt_path:
                     from rust_pathtracer_tpu.utils.checkpoint import (
                         render_radiance_checkpointed,
                     )
 
                     img, stats = render_radiance_checkpointed(
-                        scene, cam, settings, key, args.checkpoint
+                        scene, cam, settings, key, ckpt_path
                     )
                 else:
                     img, stats = render_radiance(scene, cam, settings, key)

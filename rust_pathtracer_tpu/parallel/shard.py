@@ -32,6 +32,97 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+class ShardedChunkPlan:
+    """One jitted shard_map step per sample chunk.
+
+    Exposing chunk granularity at the host level lets callers persist
+    the (mesh-agnostic) accumulation state between device dispatches —
+    the sharded checkpoint/resume path (SURVEY §5 failure slot).
+    """
+
+    def __init__(self, scene, cam: Camera, settings: RenderSettings, key,
+                 mesh, background=None):
+        self.settings = settings
+        width, height = settings.width, settings.height
+        spp = settings.samples_per_pixel
+        n_tiles = mesh.shape[TILE_AXIS]
+        n_samples_axis = mesh.shape[SAMPLE_AXIS]
+
+        self.n_samples_axis = n_samples_axis
+        self.npix = npix = width * height
+        npix_pad = _round_up(npix, n_tiles)
+        # each samples-group owns a contiguous sample range
+        self.spp_shard = spp_shard = -(-spp // n_samples_axis)
+        self.chunk = chunk = min(settings.resolve_chunk(), spp_shard)
+        self.n_chunks = -(-spp_shard // chunk)
+        pix_per_tile = npix_pad // n_tiles
+
+        bg = jnp.asarray(
+            settings.background if background is None else background,
+            jnp.float32,
+        )
+        self._args = (scene, cam, key, bg)
+
+        def tile_chunk(scene, cam, key, bg, c):
+            # derive this device's pixel ids from its mesh coordinate —
+            # no sharded input arrays, so the same code runs under
+            # multi-host jax.distributed without host-local/global
+            # array conversions.  padded ids wrap to pixel 0 harmlessly
+            # and are cropped later.
+            tile = jax.lax.axis_index(TILE_AXIS).astype(jnp.uint32)
+            pix = (
+                tile * np.uint32(pix_per_tile)
+                + jnp.arange(pix_per_tile, dtype=jnp.uint32)
+            ) % np.uint32(npix)
+            s_group = jax.lax.axis_index(SAMPLE_AXIS)
+            base = (s_group * spp_shard).astype(jnp.uint32)
+            part, stats = trace_pixel_lanes(
+                scene,
+                cam,
+                key,
+                pix,
+                base + c * jnp.uint32(chunk),
+                bg,
+                width=width,
+                height=height,
+                spp_chunk=chunk,
+                spp_total=spp,
+                max_bounces=settings.max_bounces,
+                rr_start=settings.russian_roulette_start,
+                differentiable=settings.differentiable,
+            )
+            # combine sample-partial sums (the renderer's "all-reduce")
+            acc = jax.lax.psum(part, SAMPLE_AXIS)
+            segments = jax.lax.psum(stats.segments, (SAMPLE_AXIS, TILE_AXIS))
+            bounces = jax.lax.pmax(stats.bounces, (SAMPLE_AXIS, TILE_AXIS))
+            occupancy = jax.lax.psum(
+                stats.occupancy, (SAMPLE_AXIS, TILE_AXIS)
+            )
+            return acc, segments, bounces, occupancy
+
+        self._run = jax.jit(jax.shard_map(
+            tile_chunk,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P()),
+            out_specs=(P(TILE_AXIS), P(), P(), P()),
+        ))
+
+    def run_chunk(self, c: int):
+        """Trace sample-chunk ``c``; returns (acc (npix_pad, 3) sharded
+        over tiles, segments, bounces, occupancy) — acc is this chunk's
+        radiance SUM (already psum'd over the samples axis)."""
+        return self._run(*self._args, jnp.uint32(c))
+
+    def finalize(self, acc, segments, bounces, occupancy):
+        spp = self.settings.samples_per_pixel
+        img = (acc[: self.npix] / jnp.float32(spp)).reshape(
+            self.settings.height, self.settings.width, 3
+        )
+        return img, TraceStats(
+            segments=segments, bounces=bounces, occupancy=occupancy
+        )
+
+
 def render_radiance_sharded(
     scene,
     cam: Camera,
@@ -44,81 +135,15 @@ def render_radiance_sharded(
 
     The image lives sharded over ``tiles`` until the final host gather.
     """
-    width, height = settings.width, settings.height
-    spp = settings.samples_per_pixel
-    n_tiles = mesh.shape[TILE_AXIS]
-    n_samples_axis = mesh.shape[SAMPLE_AXIS]
-
-    npix = width * height
-    npix_pad = _round_up(npix, n_tiles)
-    # each samples-group owns a contiguous sample range
-    spp_shard = -(-spp // n_samples_axis)
-    chunk = min(settings.resolve_chunk(), spp_shard)
-    n_chunks = -(-spp_shard // chunk)
-
-    bg = jnp.asarray(
-        settings.background if background is None else background, jnp.float32
-    )
-
-    pix_per_tile = npix_pad // n_tiles
-
-    def tile_body(scene, cam, key, bg):
-        # derive this device's pixel ids from its mesh coordinate — no
-        # sharded input arrays, so the same code runs under multi-host
-        # jax.distributed without host-local/global array conversions.
-        # padded ids wrap to pixel 0 harmlessly and are cropped later.
-        tile = jax.lax.axis_index(TILE_AXIS).astype(jnp.uint32)
-        pix = (
-            tile * np.uint32(pix_per_tile)
-            + jnp.arange(pix_per_tile, dtype=jnp.uint32)
-        ) % np.uint32(npix)
-        s_group = jax.lax.axis_index(SAMPLE_AXIS)
-        base = (s_group * spp_shard).astype(jnp.uint32)
-        acc = jnp.zeros((pix.shape[0], 3), jnp.float32)
-        segments = jnp.float32(0.0)
-        bounces = jnp.int32(0)
-        occupancy = None
-        for c in range(n_chunks):
-            part, stats = trace_pixel_lanes(
-                scene,
-                cam,
-                key,
-                pix,
-                base + jnp.uint32(c * chunk),
-                bg,
-                width=width,
-                height=height,
-                spp_chunk=chunk,
-                spp_total=spp,
-                max_bounces=settings.max_bounces,
-                rr_start=settings.russian_roulette_start,
-                differentiable=settings.differentiable,
-            )
-            acc = acc + part
-            segments = segments + stats.segments
-            bounces = bounces + stats.bounces
-            occupancy = stats.occupancy if occupancy is None else occupancy + stats.occupancy
-        # combine sample-partial sums (the renderer's "all-reduce")
-        acc = jax.lax.psum(acc, SAMPLE_AXIS)
-        segments = jax.lax.psum(segments, (SAMPLE_AXIS, TILE_AXIS))
-        bounces = jax.lax.pmax(bounces, (SAMPLE_AXIS, TILE_AXIS))
-        occupancy = jax.lax.psum(occupancy, (SAMPLE_AXIS, TILE_AXIS))
-        return acc, segments, bounces, occupancy
-
-    mapped = jax.shard_map(
-        tile_body,
-        mesh=mesh,
-        in_specs=(P(), P(), P(), P()),
-        out_specs=(P(TILE_AXIS), P(), P(), P()),
-    )
-
-    @jax.jit
-    def run(scene, cam, key, bg):
-        acc, segments, bounces, occupancy = mapped(scene, cam, key, bg)
-        # padded sample range: lanes with sample_id >= spp are masked
-        # inside trace_pixel_lanes, so the sum is exact.
-        img = (acc[:npix] / jnp.float32(spp)).reshape(height, width, 3)
-        return img, segments, bounces, occupancy
-
-    img, segments, bounces, occupancy = run(scene, cam, key, bg)
-    return img, TraceStats(segments=segments, bounces=bounces, occupancy=occupancy)
+    plan = ShardedChunkPlan(scene, cam, settings, key, mesh, background)
+    acc = segments = bounces = occupancy = None
+    for c in range(plan.n_chunks):
+        a, s, b, o = plan.run_chunk(c)
+        if acc is None:
+            acc, segments, bounces, occupancy = a, s, b, o
+        else:
+            acc = acc + a
+            segments = segments + s
+            bounces = bounces + b  # sum over chunks (matches render.py)
+            occupancy = occupancy + o
+    return plan.finalize(acc, segments, bounces, occupancy)

@@ -20,12 +20,18 @@ import numpy as np
 
 class RenderCheckpoint(NamedTuple):
     acc: np.ndarray          # (H*W, 3) radiance sums over completed samples
-    samples_done: int
+    samples_done: int        # completed per-samples-group chunk offset
     width: int
     height: int
     spp_total: int
     key_data: np.ndarray     # PRNGKey raw data
     segments: float
+    # sharded renders: the samples-axis extent and chunk size the sums
+    # were taken with (each samples-group owns a disjoint sample range,
+    # so completed samples are only well-defined for a matching split;
+    # the TILE count is free to change on resume)
+    samples_axis: int = 1
+    chunk: int = 0           # 0 = single-device legacy (chunk implied)
 
 
 def save_checkpoint(path: str, ckpt: RenderCheckpoint) -> None:
@@ -43,6 +49,8 @@ def save_checkpoint(path: str, ckpt: RenderCheckpoint) -> None:
                 spp_total=ckpt.spp_total,
                 key_data=ckpt.key_data,
                 segments=ckpt.segments,
+                samples_axis=ckpt.samples_axis,
+                chunk=ckpt.chunk,
             )
         os.replace(tmp, path)
     except BaseException:
@@ -63,6 +71,8 @@ def load_checkpoint(path: str) -> Optional[RenderCheckpoint]:
             spp_total=int(z["spp_total"]),
             key_data=z["key_data"],
             segments=float(z["segments"]),
+            samples_axis=int(z["samples_axis"]) if "samples_axis" in z else 1,
+            chunk=int(z["chunk"]) if "chunk" in z else 0,
         )
 
 
@@ -135,6 +145,93 @@ def render_radiance_checkpointed(
     from rust_pathtracer_tpu.integrator import MAX_BOUNCE_STATS
 
     return img, TraceStats(
+        segments=jnp.float32(segments),
+        bounces=jnp.int32(0),
+        occupancy=jnp.zeros((MAX_BOUNCE_STATS,), jnp.float32),
+    )
+
+
+def render_radiance_sharded_checkpointed(
+    scene,
+    cam,
+    settings,
+    key,
+    mesh,
+    checkpoint_path: str,
+    checkpoint_every: int = 1,
+):
+    """Sharded render (parallel/shard.py) with per-chunk checkpointing.
+
+    The persisted state is the full-image radiance sums + per-group
+    chunk progress + base key.  A job can resume with a DIFFERENT tile
+    count (the counter-based RNG keys off global (pixel, sample), so
+    tile ownership is free to change); the samples-axis extent and
+    chunk size must match, because each samples-group owns a disjoint
+    sample range and "completed chunks" is only meaningful for the same
+    split — validated against the checkpoint, mismatches restart.
+    Resume is bitwise identical to an uninterrupted run.  This is the
+    elastic-recovery slot of SURVEY §5 (the reference loses the whole
+    frame on any crash, main.rs panics).
+    """
+    import jax.numpy as jnp
+
+    from rust_pathtracer_tpu.integrator import TraceStats
+    from rust_pathtracer_tpu.parallel.shard import ShardedChunkPlan
+
+    plan = ShardedChunkPlan(scene, cam, settings, key, mesh)
+    spp = settings.samples_per_pixel
+    npix = settings.width * settings.height
+    key_data = np.asarray(key)
+
+    start_chunk = 0
+    acc_host = np.zeros((npix, 3), np.float32)
+    segments = 0.0
+    ckpt = load_checkpoint(checkpoint_path)
+    if ckpt is not None:
+        matches = (
+            ckpt.width == settings.width
+            and ckpt.height == settings.height
+            and ckpt.spp_total == spp
+            and np.array_equal(ckpt.key_data, key_data)
+            and ckpt.samples_axis == plan.n_samples_axis
+            and ckpt.chunk == plan.chunk
+        )
+        if matches:
+            # samples_done counts per-samples-group chunks of plan.chunk
+            start_chunk = ckpt.samples_done // plan.chunk
+            acc_host = np.asarray(ckpt.acc, np.float32)
+            segments = ckpt.segments
+
+    # fold the restored sums INTO the running accumulator (rather than
+    # adding them at the end) so the f32 summation order matches an
+    # uninterrupted run exactly -> bitwise-identical resume
+    acc = jnp.asarray(acc_host)
+    for c in range(start_chunk, plan.n_chunks):
+        a, s, _b, _o = plan.run_chunk(c)
+        acc = acc + a[:npix]
+        segments += float(s)
+        if (c + 1 - start_chunk) % checkpoint_every == 0:
+            save_checkpoint(
+                checkpoint_path,
+                RenderCheckpoint(
+                    acc=np.asarray(acc),
+                    samples_done=(c + 1) * plan.chunk,
+                    width=settings.width,
+                    height=settings.height,
+                    spp_total=spp,
+                    key_data=key_data,
+                    segments=segments,
+                    samples_axis=plan.n_samples_axis,
+                    chunk=plan.chunk,
+                ),
+            )
+
+    img = (np.asarray(acc) / np.float32(spp)).reshape(
+        settings.height, settings.width, 3
+    )
+    from rust_pathtracer_tpu.integrator import MAX_BOUNCE_STATS
+
+    return jnp.asarray(img), TraceStats(
         segments=jnp.float32(segments),
         bounces=jnp.int32(0),
         occupancy=jnp.zeros((MAX_BOUNCE_STATS,), jnp.float32),

@@ -1,5 +1,7 @@
 import os
 
+import pytest
+
 import jax
 import numpy as np
 
@@ -79,3 +81,66 @@ def test_mismatched_checkpoint_ignored(tmp_path):
     ref, _ = render_radiance(scene, cam, s, key)
     img, _ = render_radiance_checkpointed(scene, cam, s, key, p)
     assert np.array_equal(np.asarray(img), np.asarray(ref))
+
+
+class _Boom(RuntimeError):
+    pass
+
+
+def test_sharded_checkpoint_kill_and_resume(tmp_path, monkeypatch):
+    """Kill the sharded render mid-frame; resume must be bitwise exact
+    vs an uninterrupted run — including resuming on a DIFFERENT mesh
+    shape (the persisted state is mesh-agnostic)."""
+    import jax
+
+    from rust_pathtracer_tpu.parallel import make_mesh
+    from rust_pathtracer_tpu.parallel import shard as shard_mod
+    from rust_pathtracer_tpu.utils.checkpoint import (
+        render_radiance_sharded_checkpointed,
+    )
+
+    sd = get_scene("CornellBox")
+    scene = sd.build()
+    cam = sd.camera_at(0.0)
+    # 8 samples, spp_chunk=2, 2 samples-groups -> 2 chunks per group
+    s = RenderSettings(16, 16, 8, 4, (0.0, 0.0, 0.0), spp_chunk=2)
+    key = jax.random.PRNGKey(7)
+    mesh = make_mesh(tiles=2, samples=2, devices=jax.devices()[:4])
+
+    p = os.path.join(tmp_path, "shard_ck.npz")
+    ref, ref_stats = render_radiance_sharded_checkpointed(
+        scene, cam, s, key, mesh, p + ".ref"
+    )
+
+    # crash after the first chunk completes (checkpoint already saved)
+    real_run = shard_mod.ShardedChunkPlan.run_chunk
+    calls = {"n": 0}
+
+    def dying_run(self, c):
+        if calls["n"] >= 1:
+            raise _Boom()
+        calls["n"] += 1
+        return real_run(self, c)
+
+    monkeypatch.setattr(shard_mod.ShardedChunkPlan, "run_chunk", dying_run)
+    with pytest.raises(_Boom):
+        render_radiance_sharded_checkpointed(scene, cam, s, key, mesh, p)
+    monkeypatch.setattr(shard_mod.ShardedChunkPlan, "run_chunk", real_run)
+    assert os.path.exists(p)
+
+    # resume with a DIFFERENT tile count (4x2 instead of 2x2): tile
+    # ownership is free to change; only the samples split must match
+    mesh2 = make_mesh(tiles=4, samples=2, devices=jax.devices()[:8])
+    img_resume, stats = render_radiance_sharded_checkpointed(
+        scene, cam, s, key, mesh2, p
+    )
+    assert np.array_equal(np.asarray(img_resume), np.asarray(ref))
+    assert float(stats.segments) == float(ref_stats.segments)
+
+    # a checkpoint from a different samples split must be ignored (the
+    # render restarts) and still produce the exact image
+    mesh3 = make_mesh(tiles=2, samples=4, devices=jax.devices()[:8])
+    img3, _ = render_radiance_sharded_checkpointed(
+        scene, cam, s, key, mesh3, p
+    )
+    assert np.array_equal(np.asarray(img3), np.asarray(ref))

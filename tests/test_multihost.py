@@ -36,6 +36,12 @@ mesh = make_mesh(tiles=2, samples=2)  # 4 global devices, 2 per process
 img, stats = render_radiance_sharded(
     scene, sd.camera_at(0.0), settings, jax.random.PRNGKey(3), mesh
 )
+# gather the tile-sharded image across processes and save the full
+# pixels (each rank independently; they must agree bitwise)
+import numpy as np
+from jax.experimental import multihost_utils
+full = np.asarray(multihost_utils.process_allgather(img, tiled=True))
+np.save({outdir!r} + f"/img_rank{{rank}}.npy", full)
 print(f"RANK{{rank}} SEGMENTS {{float(stats.segments):.1f}}", flush=True)
 """
 
@@ -51,7 +57,8 @@ def test_two_process_distributed_render(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(tmp_path, "worker.py")
     with open(worker, "w") as f:
-        f.write(_WORKER.format(repo=repo, addr=f"localhost:{_free_port()}"))
+        f.write(_WORKER.format(repo=repo, addr=f"localhost:{_free_port()}",
+                               outdir=str(tmp_path)))
 
     env = {k: v for k, v in os.environ.items()}
     env["PYTHONPATH"] = ""
@@ -87,8 +94,21 @@ def test_two_process_distributed_render(tmp_path):
     scene = sd.build()
     settings = RenderSettings(16, 16, 4, 4, (0.0, 0.0, 0.0))
     mesh = make_mesh(tiles=2, samples=2, devices=jax.devices()[:4])
-    _, stats = render_radiance_sharded(
+    img, stats = render_radiance_sharded(
         scene, sd.camera_at(0.0), settings, jax.random.PRNGKey(3), mesh
     )
     expect = float(stats.segments)
     assert segs[0] == segs[1] == expect
+
+    # the distributed IMAGE must match the single-process one pixel for
+    # pixel (counter-based RNG keys off (pixel, sample) globally, so
+    # sharding cannot change any lane's radiance)
+    want = np.asarray(img)
+    for rank in range(2):
+        got = np.load(os.path.join(tmp_path, f"img_rank{rank}.npy"))
+        assert got.shape == want.shape, (rank, got.shape, want.shape)
+        np.testing.assert_allclose(got, want, rtol=0.0, atol=1e-7,
+                                   err_msg=f"rank {rank} image differs")
+    got0 = np.load(os.path.join(tmp_path, "img_rank0.npy"))
+    got1 = np.load(os.path.join(tmp_path, "img_rank1.npy"))
+    np.testing.assert_array_equal(got0, got1)
