@@ -99,6 +99,21 @@ def main():
         f"# fwd+bwd step: {dt * 1e3:.1f} ms for {segs:.0f} segments",
         file=sys.stderr,
     )
+
+    # roofline: what binds this step, and how close to speed of light?
+    from rust_pathtracer_tpu.utils.metrics import roofline_report
+
+    lanes = WIDTH * HEIGHT * SPP_CHUNK
+    rl = roofline_report(
+        scene, lanes, bounces=segs / lanes, measured_seconds=dt,
+        backward=True,
+    )
+    print(
+        f"# roofline: bound={rl['bound']} sol={rl['sol_seconds']*1e3:.1f} ms"
+        f" achieved={rl['sol_fraction']*100:.0f}% of speed-of-light"
+        f" stages={rl['stages']}",
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
@@ -106,6 +121,8 @@ def main():
                 "value": rays_per_sec,
                 "unit": "rays/s",
                 "vs_baseline": rays_per_sec / REFERENCE_CPU_RAYS_PER_SEC_ESTIMATE,
+                "roofline_bound": rl["bound"],
+                "roofline_sol_fraction": round(rl["sol_fraction"], 3),
             }
         )
     )

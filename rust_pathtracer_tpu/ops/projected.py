@@ -114,6 +114,10 @@ class ProjTables:
     # and skips the whole 128-column sweep when no ray can hit it —
     # the TPU-native two-level BVH.
     cluster_bounds: jnp.ndarray = None
+    # (n_pblocks, 6, 128): the same bounds laid out for the kernel's
+    # vectorized (rays x clusters) slab test (VMEM, lane-padded with
+    # inverted boxes so padding clusters can never pass)
+    cluster_bounds_v: jnp.ndarray = None
     group_kinds: Tuple[int, ...] = dataclasses.field(
         default=(), metadata=dict(static=True)
     )
@@ -296,12 +300,23 @@ def build_projected(kind, aux, data, mat, mats=None, texs=None,
     ghi = np.where(nonempty, ghi + pad, ghi)
     cb = np.concatenate([glo, ghi], axis=1).T  # (6, C/GROUP)
 
+    # kernel layout: per p-block, lane-padded to 128 with inverted boxes
+    n_pblocks = C // col_block
+    ngrp = col_block // GROUP
+    gpad = _pad_up(ngrp, 128)
+    cbv = np.empty((n_pblocks, 6, gpad), np.float64)
+    cbv[:, 0:3, :] = 1.0e30   # lo = +inf
+    cbv[:, 3:6, :] = -1.0e30  # hi = -inf -> padding never passes
+    for b in range(n_pblocks):
+        cbv[b, :, :ngrp] = cb[:, b * ngrp:(b + 1) * ngrp]
+
     return ProjTables(
         a=jnp.asarray(A, jnp.float32),
         b=jnp.asarray(B, jnp.float32),
         const=jnp.asarray(K, jnp.float32),
         payload=jnp.asarray(pay, jnp.float32),
         cluster_bounds=jnp.asarray(cb, jnp.float32),
+        cluster_bounds_v=jnp.asarray(cbv, jnp.float32),
         group_kinds=tuple(group_kinds),
         shade_ready=shade_ready,
         col_block=col_block,
@@ -418,17 +433,29 @@ def closest_hit_projected_ref(tables: ProjTables, o, d, t_min):
 # ---------------------------------------------------------------------------
 # Pallas kernel
 # ---------------------------------------------------------------------------
-def _kernel(group_kinds, t_min, n_pblocks, col_block,
-            rays_ref, a_ref, b_ref, k_ref, pay_ref, cb_ref,
-            t_ref, c_ref, payout_ref, st_ref, sc_ref):
+def _kernel(group_kinds, t_min, n_pblocks, col_block, super_groups,
+            rays_ref, a_ref, b_ref, k_ref, pay_ref, cbv_ref,
+            t_ref, c_ref, payout_ref, tb_ref, cb_ref):
     """Grid (ray_blocks, p_blocks); p minor => sequential running min.
 
-    Each 128-column cluster is slab-tested against the whole ray block
-    first; the full projected sweep for the cluster runs under
-    ``pl.when`` only if some ray can still hit it (conservative, so
-    results are identical to the unculled sweep).  ``st/sc`` are VMEM
-    scratch for the per-group (t, column) results across the
-    conditional boundary.
+    Control structure (measured on v5e: the per-group sequential slab
+    test + two pl.when's cost ~2.3 us/group, a 183 us/step floor at 80
+    clusters even with every sweep skipped — so the skip logic itself
+    must be vectorized and hierarchical):
+
+    * ONE (rays, 128) slab computation per step gives entry/exit t for
+      every cluster at once (lo/hi don't depend on the running best —
+      tightening is just min(hi, best) at compare time);
+    * one block-level pl.when skips everything when no ray can hit any
+      cluster (dead/parked blocks cost ~one conditional);
+    * clusters are grouped into supers of ``super_groups``; a super
+      that no ray can still hit costs one conditional, not 8;
+    * the per-block running best lives in tb/cb scratch and each
+      group's sweep UPDATES IT IN PLACE under its pl.when — no
+      else-branch writes, no post-merge.
+
+    All culling is conservative (slab-pass is necessary for any hit at
+    t < current best), so results are identical to the dense sweep.
     """
     jb = pl.program_id(1)
 
@@ -447,119 +474,140 @@ def _kernel(group_kinds, t_min, n_pblocks, col_block,
         c_ref[:] = jnp.full(c_ref.shape, -1, jnp.int32)
         payout_ref[:] = jnp.zeros(payout_ref.shape, jnp.float32)
 
-    prev_t = t_ref[:]  # (RB*128, 1): best from earlier p-blocks
+    # per-block running best: t carried from earlier p-blocks, local
+    # column -1 (>=0 after the loop marks a strict improvement)
+    tb_ref[:] = t_ref[:]
+    cb_ref[:] = jnp.full(cb_ref.shape, -1, jnp.int32)
 
     # slab-test reciprocals; clamped (not inf) so products stay finite
     tiny = np.float32(1e-30)
     dsafe = jnp.where(jnp.abs(d) < tiny, jnp.where(d < 0.0, -tiny, tiny), d)
     inv_d = 1.0 / dsafe
 
+    # vectorized slab test, every cluster of this p-block at once
+    # (bvh.rs:18-35 semantics): cbv_ref is (1, 6, GPAD) with padding
+    # clusters carrying inverted boxes, so they can never pass
+    cbv = cbv_ref[0]  # (6, GPAD)
+    lo = jnp.full((rays.shape[0], cbv.shape[1]), t_min, jnp.float32)
+    hi = jnp.full((rays.shape[0], cbv.shape[1]), T_MISS, jnp.float32)
+    for ax in range(3):
+        b0 = (cbv[ax:ax + 1, :] - o[:, ax:ax + 1]) * inv_d[:, ax:ax + 1]
+        b1 = (cbv[3 + ax:4 + ax, :] - o[:, ax:ax + 1]) * inv_d[:, ax:ax + 1]
+        lo = jnp.maximum(lo, jnp.minimum(b0, b1))
+        hi = jnp.minimum(hi, jnp.maximum(b0, b1))
+
     kconst = k_ref[:]  # (8, CB)
     ngrp = col_block // GROUP
-
-    best_t = None
-    best_c = None
-    for g in range(ngrp):
-        sl = slice(g * GROUP, (g + 1) * GROUP)
-        tg_all = [group_kinds[blk * ngrp + g] for blk in range(n_pblocks)]
-        # all-padding block-groups are statically unhittable; their
-        # sentinel bounds are not a reliable empty box, so mask them out
-        pad_blocks = [blk for blk, k in enumerate(tg_all) if k == -1]
-        if len(pad_blocks) == n_pblocks:
-            continue  # this group is padding in EVERY p-block
-
-        # cluster AABB slab test (bvh.rs:18-35 semantics), tightened by
-        # the best hit found so far — scalar bounds from SMEM
-        running = prev_t if best_t is None else jnp.minimum(prev_t, best_t)
-        lo = jnp.full(running.shape, t_min, jnp.float32)
-        hi = running
-        for ax in range(3):
-            b0 = (cb_ref[ax, jb * ngrp + g] - o[:, ax:ax + 1]) * inv_d[:, ax:ax + 1]
-            b1 = (cb_ref[3 + ax, jb * ngrp + g] - o[:, ax:ax + 1]) * inv_d[:, ax:ax + 1]
-            lo = jnp.maximum(lo, jnp.minimum(b0, b1))
-            hi = jnp.minimum(hi, jnp.maximum(b0, b1))
-        any_hit = jnp.any(hi >= lo)
-        if pad_blocks:
-            is_pad = None
-            for blk in pad_blocks:
-                cmp = jb == blk
-                is_pad = cmp if is_pad is None else (is_pad | cmp)
-            any_hit = any_hit & jnp.logical_not(is_pad)
-
-        sphere_only = set(tg_all) <= {PRIM_SPHERE, -1}
-
-        @pl.when(any_hit)
-        def _sweep(g=g, sl=sl, tg_all=tg_all, sphere_only=sphere_only):
-            if sphere_only:
-                # deferred-division fast path: only the center
-                # projection is needed, comparisons stay in q = t*|d|^2
-                O0 = jnp.dot(rays, a_ref[0][:, sl],
-                             preferred_element_type=jnp.float32, precision=hp)
-                D0 = jnp.dot(rays, b_ref[0][:, sl],
-                             preferred_element_type=jnp.float32, precision=hp)
-                tgs = _group_q_sphere(
-                    O0, D0, kconst[:, sl], onorm, odot, dnorm, t_min
-                )
-            else:
-                Og = [jnp.dot(rays, a_ref[i][:, sl],
-                              preferred_element_type=jnp.float32, precision=hp)
-                      for i in range(3)]
-                Dg = [jnp.dot(rays, b_ref[i][:, sl],
-                              preferred_element_type=jnp.float32, precision=hp)
-                      for i in range(3)]
-                # the group's type depends on which p-block this step
-                # handles; select among the (few) distinct formulas with
-                # a scalar OR-chain on program_id (no captured constants)
-                distinct = sorted(set(tg_all))
-                tgs = None
-                for tk in distinct:
-                    tcand = _group_t(
-                        tk, Og[0], Og[1], Og[2], Dg[0], Dg[1], Dg[2],
-                        kconst[:, sl], onorm, odot, dnorm, t_min,
-                    )
-                    if tgs is None:
-                        tgs = tcand
-                    else:
-                        sel = None
-                        for blk, k in enumerate(tg_all):
-                            if k == tk:
-                                cmp = jb == blk
-                                sel = cmp if sel is None else (sel | cmp)
-                        tgs = jnp.where(sel, tcand, tgs)
-            gt = jnp.min(tgs, axis=1, keepdims=True)          # (R, 1)
-            iota = jax.lax.broadcasted_iota(jnp.int32, tgs.shape, 1)
-            gc = jnp.min(
-                jnp.where(tgs <= gt, iota, np.int32(2 ** 30)), axis=1,
-                keepdims=True,
-            ) + g * GROUP
-            if sphere_only:
-                # one division for the group winner recovers t
-                gt = jnp.where(gt >= T_MISS, T_MISS, gt / dnorm)
-            st_ref[:] = gt
-            sc_ref[:] = gc
-
-        @pl.when(jnp.logical_not(any_hit))
-        def _skip():
-            st_ref[:] = jnp.full(st_ref.shape, T_MISS, jnp.float32)
-            sc_ref[:] = jnp.zeros(sc_ref.shape, jnp.int32)
-
-        gt = st_ref[:]
-        gc = sc_ref[:]
-        if best_t is None:
-            best_t, best_c = gt, gc
-        else:
-            take = gt < best_t
-            best_t = jnp.where(take, gt, best_t)
-            best_c = jnp.where(take, gc, best_c)
-
-    if best_t is None:
+    real_groups = [
+        g for g in range(ngrp)
+        if any(group_kinds[blk * ngrp + g] != -1 for blk in range(n_pblocks))
+    ]
+    if not real_groups:
         return  # every group of this block is padding in every p-block
+
+    block_any = jnp.any(
+        jnp.minimum(hi[:, : ngrp], tb_ref[:]) >= lo[:, : ngrp]
+    )
+
+    @pl.when(block_any)
+    def _block():
+        def sweep_group(g):
+            sl = slice(g * GROUP, (g + 1) * GROUP)
+            tg_all = [group_kinds[blk * ngrp + g] for blk in range(n_pblocks)]
+            pad_blocks = [blk for blk, k in enumerate(tg_all) if k == -1]
+            sphere_only = set(tg_all) <= {PRIM_SPHERE, -1}
+
+            g_any = jnp.any(
+                jnp.minimum(hi[:, g:g + 1], tb_ref[:]) >= lo[:, g:g + 1]
+            )
+            if pad_blocks and n_pblocks > 1:
+                is_pad = None
+                for blk in pad_blocks:
+                    cmp = jb == blk
+                    is_pad = cmp if is_pad is None else (is_pad | cmp)
+                g_any = g_any & jnp.logical_not(is_pad)
+
+            @pl.when(g_any)
+            def _sweep():
+                if sphere_only:
+                    # deferred-division fast path: only the center
+                    # projection is needed; compare in q = t * |d|^2
+                    O0 = jnp.dot(rays, a_ref[0][:, sl],
+                                 preferred_element_type=jnp.float32,
+                                 precision=hp)
+                    D0 = jnp.dot(rays, b_ref[0][:, sl],
+                                 preferred_element_type=jnp.float32,
+                                 precision=hp)
+                    tgs = _group_q_sphere(
+                        O0, D0, kconst[:, sl], onorm, odot, dnorm, t_min
+                    )
+                else:
+                    Og = [jnp.dot(rays, a_ref[i][:, sl],
+                                  preferred_element_type=jnp.float32,
+                                  precision=hp)
+                          for i in range(3)]
+                    Dg = [jnp.dot(rays, b_ref[i][:, sl],
+                                  preferred_element_type=jnp.float32,
+                                  precision=hp)
+                          for i in range(3)]
+                    # the group's type depends on which p-block this
+                    # step handles; select among the few distinct
+                    # formulas with a scalar OR-chain on program_id
+                    distinct = sorted(set(k for k in tg_all if k != -1))
+                    tgs = None
+                    for tk in distinct:
+                        tcand = _group_t(
+                            tk, Og[0], Og[1], Og[2], Dg[0], Dg[1], Dg[2],
+                            kconst[:, sl], onorm, odot, dnorm, t_min,
+                        )
+                        if tgs is None:
+                            tgs = tcand
+                        else:
+                            sel = None
+                            for blk, k in enumerate(tg_all):
+                                if k == tk:
+                                    cmp = jb == blk
+                                    sel = cmp if sel is None else (sel | cmp)
+                            tgs = jnp.where(sel, tcand, tgs)
+                gt = jnp.min(tgs, axis=1, keepdims=True)          # (R, 1)
+                iota = jax.lax.broadcasted_iota(jnp.int32, tgs.shape, 1)
+                gc = jnp.min(
+                    jnp.where(tgs <= gt, iota, np.int32(2 ** 30)), axis=1,
+                    keepdims=True,
+                ) + g * GROUP
+                if sphere_only:
+                    # one division for the group winner recovers t
+                    gt = jnp.where(gt >= T_MISS, T_MISS, gt / dnorm)
+                cur = tb_ref[:]
+                take = gt < cur
+                tb_ref[:] = jnp.where(take, gt, cur)
+                cb_ref[:] = jnp.where(take, gc, cb_ref[:])
+
+        sg = max(super_groups, 1)
+        for s0 in range(0, len(real_groups), sg):
+            chunk = real_groups[s0:s0 + sg]
+            if len(chunk) == 1:
+                sweep_group(chunk[0])
+                continue
+            # test the contiguous column span (padding groups inside it
+            # carry inverted boxes, so they can never force a sweep)
+            g_lo, g_hi = chunk[0], chunk[-1] + 1
+            super_any = jnp.any(
+                jnp.minimum(hi[:, g_lo:g_hi], tb_ref[:])
+                >= lo[:, g_lo:g_hi]
+            )
+
+            @pl.when(super_any)
+            def _super(chunk=tuple(chunk)):
+                for g in chunk:
+                    sweep_group(g)
 
     # commit improvements — including the winner-payload one-hot MXU
     # contraction — only when some ray actually improved; for most
-    # (ray-block, p-block) steps nothing does, and this conditional is
-    # what keeps the per-step floor low
-    upd = best_t < prev_t
+    # steps nothing does, which keeps the per-step floor low
+    best_t = tb_ref[:]
+    best_c = cb_ref[:]
+    upd = best_c >= 0
     any_upd = jnp.any(upd)
 
     @pl.when(any_upd)
@@ -570,7 +618,7 @@ def _kernel(group_kinds, t_min, n_pblocks, col_block,
         onehot = (iota_cb == best_c).astype(jnp.float32)
         blk_pay = jnp.dot(onehot, pay_ref[:],
                           preferred_element_type=jnp.float32, precision=hp)
-        t_ref[:] = jnp.where(upd, best_t, prev_t)
+        t_ref[:] = jnp.where(upd, best_t, t_ref[:])
         c_ref[:] = jnp.where(upd, best_c + jb * col_block, c_ref[:])
         payout_ref[:] = jnp.where(upd, blk_pay, payout_ref[:])
 
@@ -579,11 +627,13 @@ def _kernel(group_kinds, t_min, n_pblocks, col_block,
     jax.jit,
     static_argnames=(
         "group_kinds", "t_min", "block_rows", "interpret", "col_block",
+        "super_groups",
     ),
 )
-def _closest_hit_projected(rays, a, b, const, payload, cbounds, *,
+def _closest_hit_projected(rays, a, b, const, payload, cbv, *,
                            group_kinds, t_min, block_rows=BLOCK_ROWS,
-                           interpret=False, col_block=COL_BLOCK):
+                           interpret=False, col_block=COL_BLOCK,
+                           super_groups=8):
     R8 = rays.shape[0]
     C = a.shape[-1]
     n_pblocks = C // col_block
@@ -591,7 +641,7 @@ def _closest_hit_projected(rays, a, b, const, payload, cbounds, *,
     grid = (R8 // rb, n_pblocks)
 
     kernel = functools.partial(_kernel, group_kinds, t_min, n_pblocks,
-                               col_block)
+                               col_block, super_groups)
     t, c, pay = pl.pallas_call(
         kernel,
         grid=grid,
@@ -606,9 +656,9 @@ def _closest_hit_projected(rays, a, b, const, payload, cbounds, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((col_block, PAY_W), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            # whole cluster-bounds table as scalars (C/GROUP is small)
-            pl.BlockSpec(cbounds.shape, lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
+            # this p-block's cluster bounds, lane-padded (VMEM vectors)
+            pl.BlockSpec((1, 6, cbv.shape[-1]), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((rb, 1), lambda i, j: (i, 0),
@@ -628,7 +678,7 @@ def _closest_hit_projected(rays, a, b, const, payload, cbounds, *,
             pltpu.VMEM((rb, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(rays, a, b, const, payload, cbounds)
+    )(rays, a, b, const, payload, cbv)
     return t[:, 0], c[:, 0], pay
 
 
@@ -743,6 +793,7 @@ def closest_hit_projected(tables: ProjTables, o, d, t_min, interpret=False,
 
     if block_rows is None:
         block_rows = int(os.environ.get("RPT_BLOCK_ROWS", BLOCK_ROWS))
+    super_groups = int(os.environ.get("RPT_SUPER", 8))
     R = o.shape[0]
     rb = block_rows * 128
     Rp = _pad_up(R, rb)
@@ -750,10 +801,10 @@ def closest_hit_projected(tables: ProjTables, o, d, t_min, interpret=False,
     rays = jnp.pad(rays, ((0, Rp - R), (0, 0)))
     t, c, pay = _closest_hit_projected(
         rays, tables.a, tables.b, tables.const, tables.payload,
-        tables.cluster_bounds,
+        tables.cluster_bounds_v,
         group_kinds=tables.group_kinds, t_min=float(t_min),
         block_rows=block_rows, interpret=interpret,
-        col_block=tables.col_block,
+        col_block=tables.col_block, super_groups=super_groups,
     )
     t, c, pay = t[:R], c[:R], pay[:R]
     hit = c >= 0

@@ -6,20 +6,20 @@ background (LightTest: max 50 bounces, measured occupancy 5% after two
 bounces) the tail wastes >90% of the vector unit.
 
 This renderer is the TPU-shaped version of GPU "stream-compacted
-bounce queues": a fixed pool of lanes stays ~100% occupied because a
-lane that terminates is immediately REFILLED with the next
-(pixel, sample) item from the global work queue — static shapes, no
-scatter/compact of live state, just an exclusive cumsum to hand out
-fresh work ids and one scatter-add to flush finished radiance into the
-per-pixel accumulator.
+bounce queues": a fixed pool of lanes stays highly occupied because a
+lane that terminates is REFILLED with the next (pixel, sample) item
+from the global work queue — static shapes, no scatter/compact of live
+state, just an exclusive cumsum to hand out fresh work ids and one
+scatter-add to flush finished radiance into the per-pixel accumulator.
 
-Measured on v5e (512^2 judging configs): the per-iteration scatter-add
-+ refill overhead currently outweighs the occupancy win — LightTest
-29.9 s regen vs 28.2 s chunked, CornellBox 58 s vs 13.6 s — so the
-chunked renderer remains the default and this mode is opt-in
-(CLI --regen).  Kept because the estimator is verified identical
-(means match to 1e-5 on-chip) and the occupancy structure will win
-once the flush cost is amortized (e.g. flush every K iterations).
+AMORTIZED FLUSH (round 2): the round-1 design flushed + refilled every
+iteration, and the measured refill overhead (camera-ray spawn + RNG
+chains + cumsum + scatter-add on every lane every iteration) outweighed
+the occupancy win (LightTest 29.9 s regen vs 28.2 s chunked).  The loop
+now runs ``flush_every`` bounce iterations between flushes: finished
+lanes hold their radiance in registers (alive=False, work id kept)
+until the window ends, so the refill machinery runs 1/K as often at
+the cost of those lanes idling for at most K-1 iterations.
 
 RNG consistency: a work item's lane key is derived from the same
 (pixel * spp + sample) counter and per-(bounce, purpose) fold as the
@@ -29,6 +29,8 @@ accumulation order differs (images agree to ~1e-6).
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -52,11 +54,14 @@ def render_radiance_regen(
     settings: RenderSettings,
     key,
     lanes: int | None = None,
+    flush_every: int | None = None,
 ):
     """Linear radiance image via the regeneration wavefront.
 
     Returns ((H, W, 3) image, TraceStats).  Equivalent estimator to
     render_radiance (same per-path RNG); accumulation order differs.
+    ``flush_every``: bounce iterations between flush+refill windows
+    (default 4; RPT_FLUSH_EVERY overrides).
     """
     width, height = settings.width, settings.height
     spp = settings.samples_per_pixel
@@ -68,6 +73,9 @@ def render_radiance_regen(
     lanes = int(min(lanes, total))
     if lanes <= 0:
         raise ValueError(f"lane pool must be positive, got {lanes}")
+    if flush_every is None:
+        flush_every = int(os.environ.get("RPT_FLUSH_EVERY", 4))
+    flush_every = max(1, flush_every)
     bg = jnp.asarray(settings.background, jnp.float32)
 
     def spawn(work_id):
@@ -94,7 +102,7 @@ def render_radiance_regen(
     pixel0, lkeys0, o0, d0 = spawn(init_work)
 
     state = dict(
-        work=init_work,                               # -1 => lane retired
+        work=init_work,                               # -1 => lane idle
         pixel=pixel0,
         lkeys=lkeys0,
         o=o0,
@@ -109,15 +117,14 @@ def render_radiance_regen(
         iters=jnp.int32(0),
     )
 
-    def cond(s):
-        return jnp.any(s["alive"])
-
-    def body(s):
+    def bounce(s):
+        """One bounce for the live lanes; finished lanes hold their
+        radiance (alive=False, work kept) until the next flush."""
         o, d, thr, rad = s["o"], s["d"], s["thr"], s["rad"]
         alive, depth, lkeys = s["alive"], s["depth"], s["lkeys"]
         segments = s["segments"] + jnp.sum(alive.astype(jnp.float32))
 
-        hit_mask, rec, shade_row, _cluster = search_and_record(scene, o, d, alive)
+        hit_mask, rec, shade_row, _cl = search_and_record(scene, o, d, alive)
         si = shade_inputs(scene, rec, shade_row)
 
         miss = alive & ~hit_mask
@@ -135,15 +142,23 @@ def render_radiance_regen(
         sc = scatter(scene, rec, d, sphere_dir, ball_dir, coin, si)
 
         depth = depth + alive.astype(jnp.int32)
-        cont = hit_mask & sc.did_scatter & (depth < max_bounces)
+        cont = alive & hit_mask & sc.did_scatter & (depth < max_bounces)
         thr = jnp.where(cont[..., None], thr * sc.attenuation, thr)
         o = vm.where(cont, rec.point, o)
         d = vm.where(cont, sc.direction, d)
 
-        # ---- flush + regenerate terminated lanes -----------------------
-        finished = alive & ~cont
+        return dict(
+            s, o=o, d=d, thr=thr, rad=rad, depth=depth, alive=cont,
+            segments=segments, iters=s["iters"] + 1,
+        )
+
+    def flush_refill(s):
+        """Scatter finished lanes' radiance into the accumulator and
+        hand each flushed lane the next queued (pixel, sample)."""
+        alive, work = s["alive"], s["work"]
+        finished = ~alive & (work >= 0)
         acc = s["acc"].at[jnp.where(finished, s["pixel"], 0)].add(
-            jnp.where(finished[..., None], rad, 0.0)
+            jnp.where(finished[..., None], s["rad"], 0.0)
         )
 
         issued = s["issued"]
@@ -156,22 +171,30 @@ def render_radiance_regen(
 
         pixel_n, lkeys_n, o_n, d_n = spawn(new_work)
         pixel = jnp.where(take, pixel_n, s["pixel"])
-        lkeys = jnp.where(take[:, None], lkeys_n, lkeys)
-        o = vm.where(take, o_n, o)
-        d = vm.where(take, d_n, d)
-        thr = vm.where(take, jnp.ones_like(thr), thr)
-        rad = vm.where(take, jnp.zeros_like(rad), rad)
-        depth = jnp.where(take, 0, depth)
-        work = jnp.where(take, new_work, jnp.where(finished, -1, s["work"]))
-        alive = cont | take
-
+        lkeys = jnp.where(take[:, None], lkeys_n, s["lkeys"])
+        o = vm.where(take, o_n, s["o"])
+        d = vm.where(take, d_n, s["d"])
+        thr = vm.where(take, jnp.ones_like(s["thr"]), s["thr"])
+        rad = vm.where(take, jnp.zeros_like(s["rad"]), s["rad"])
+        depth = jnp.where(take, 0, s["depth"])
+        work = jnp.where(take, new_work, jnp.where(finished, -1, work))
         return dict(
-            work=work, pixel=pixel, lkeys=lkeys, o=o, d=d, thr=thr, rad=rad,
-            depth=depth, alive=alive, issued=issued, acc=acc,
-            segments=segments, iters=s["iters"] + 1,
+            s, work=work, pixel=pixel, lkeys=lkeys, o=o, d=d, thr=thr,
+            rad=rad, depth=depth, alive=s["alive"] | take, issued=issued,
+            acc=acc,
         )
 
-    state = jax.lax.while_loop(cond, body, state)
+    def cond(s):
+        # pending = finished-but-unflushed; loop runs until every path
+        # has been traced AND flushed
+        return jnp.any(s["alive"]) | jnp.any(~s["alive"] & (s["work"] >= 0))
+
+    def window(s):
+        for _ in range(flush_every):
+            s = bounce(s)
+        return flush_refill(s)
+
+    state = jax.lax.while_loop(cond, window, state)
 
     img = (state["acc"] / jnp.float32(spp)).reshape(height, width, 3)
     stats = TraceStats(

@@ -56,3 +56,28 @@ def test_marble_bounds():
     pts = jnp.asarray(np.random.default_rng(2).uniform(-5, 5, (512, 3)), jnp.float32)
     m = np.asarray(perlin.marble(pts, 0, 4.0))
     assert m.min() >= 0.0 and m.max() <= 1.0
+
+
+def test_marble_statistical_parity_with_perm_table():
+    """Our hash-lattice marble must be statistically indistinguishable
+    from the noise-crate permutation-table construction (texture.rs:
+    47-81 seeds its table randomly per run, so only distributional
+    agreement is well-defined).  Visual artifact:
+    preview/perlin_parity.png (tools/gen_perlin_parity.py)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from gen_perlin_parity import perm_marble, slab_points, stats
+
+    from rust_pathtracer_tpu import perlin
+
+    pts = slab_points(n=128)
+    ours = stats(np.asarray(perlin.marble(
+        jnp.asarray(pts, jnp.float32), jnp.uint32(0), 4.0)))
+    ref = stats(perm_marble(pts.astype(np.float64), seed=0, scale=4.0))
+    assert abs(ours["mean"] - ref["mean"]) < 0.05
+    assert abs(ours["std"] - ref["std"]) < 0.05
+    # similar spatial frequency content (mean |d/dx|)
+    assert abs(ours["grad"] - ref["grad"]) < 0.02
+    assert 0.0 <= ours["lo"] and ours["hi"] <= 1.0
