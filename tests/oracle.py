@@ -15,6 +15,20 @@ import numpy as np
 # --- scene as plain dicts -------------------------------------------------
 # prim: {"type": "sphere"|"rect"|"tri", ...fields..., "mat": mat dict}
 # mat:  {"type": "lam"|"metal"|"diel"|"light", "color": (3,), "fuzz": f, "ir": f}
+#       color may instead be {"checker": (odd(3,), even(3,), freq)} — the
+#       3D sine-lattice checker of texture.rs:38-44 evaluated at the hit
+#       point (sign of sin(fx) sin(fy) sin(fz) picks odd/even)
+
+
+def mat_color(m, p):
+    """Albedo/emission at hit points p (R, 3) for a material dict."""
+    c = m["color"]
+    if isinstance(c, dict) and "checker" in c:
+        odd, even, f = c["checker"]
+        s = np.sin(f * p[:, 0]) * np.sin(f * p[:, 1]) * np.sin(f * p[:, 2])
+        return np.where((s < 0.0)[:, None], np.asarray(odd, float),
+                        np.asarray(even, float))
+    return np.broadcast_to(np.asarray(c, float), (p.shape[0], 3))
 
 
 def norm(v):
@@ -152,14 +166,14 @@ def trace_oracle(prims, o, d, background, max_bounces, rng):
             m = prim["mat"]
             ns = int(sel.sum())
             if m["type"] == "light":
-                emit = np.asarray(m["color"], float)
+                emit = mat_color(m, p[sel])
                 f = front[sel]
                 rad[sel] += thr[sel] * emit * f[:, None]
             elif m["type"] == "lam":
                 sd_ = n[sel] + rand_unit_vecs(rng, ns)
                 deg = np.all(np.abs(sd_) < 1e-8, -1)
                 sd_[deg] = n[sel][deg]
-                thr[sel] *= np.asarray(m["color"], float)
+                thr[sel] *= mat_color(m, p[sel])
                 o[sel] = p[sel]
                 d[sel] = sd_
                 new_alive[np.flatnonzero(sel)] = True
@@ -167,7 +181,7 @@ def trace_oracle(prims, o, d, background, max_bounces, rng):
                 rd = reflect(norm(d[sel]), n[sel])
                 ok = np.sum(rd * n[sel], -1) > 0
                 rd = rd + m["fuzz"] * rand_in_sphere(rng, ns)
-                thr[sel] *= np.asarray(m["color"], float)
+                thr[sel] *= mat_color(m, p[sel])
                 o[sel] = p[sel]
                 d[sel] = rd
                 new_alive[np.flatnonzero(sel)[ok]] = True

