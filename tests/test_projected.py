@@ -336,3 +336,31 @@ def test_single_pblock_whole_table_matches_streamed():
     np.testing.assert_allclose(
         np.asarray(t1)[hm], np.asarray(t2)[hm], rtol=1e-4, atol=5e-5
     )
+
+
+def test_super_cluster_size_invariance():
+    """The hierarchical skip (super_groups) is conservative culling
+    only — every size must produce identical hits/winners."""
+    from rust_pathtracer_tpu.ops.projected import _closest_hit_projected
+
+    scene = _mixed_scene(900, 20, 300, seed=8)
+    tables = build_projected(
+        scene.prims.kind, scene.prims.aux, scene.prims.data, scene.prims.mat
+    )
+    o, d = _rays(640, seed=37)
+    rays = jnp.concatenate(
+        [o, d, jnp.ones((640, 1)), jnp.zeros((640, 1))], axis=1
+    )
+    rays = jnp.pad(rays, ((0, 1024 - 640), (0, 0)))
+    outs = []
+    for sg in (1, 4, 8, 64):
+        t, c, pay = _closest_hit_projected(
+            rays, tables.a, tables.b, tables.const, tables.payload,
+            tables.cluster_bounds_v, group_kinds=tables.group_kinds,
+            t_min=1e-3, block_rows=4, interpret=True,
+            col_block=tables.col_block, super_groups=sg,
+        )
+        outs.append((np.asarray(t[:640]), np.asarray(c[:640])))
+    for t, c in outs[1:]:
+        np.testing.assert_array_equal(c, outs[0][1])
+        np.testing.assert_array_equal(t, outs[0][0])
