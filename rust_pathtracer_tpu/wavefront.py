@@ -43,6 +43,7 @@ from rust_pathtracer_tpu.integrator import (
     MAX_BOUNCE_STATS,
     TraceStats,
     search_and_record,
+    use_wavefront_reorder,
 )
 from rust_pathtracer_tpu.materials import emitted, scatter, shade_inputs
 from rust_pathtracer_tpu.render import RenderSettings
@@ -101,6 +102,8 @@ def render_radiance_regen(
     init_work = jnp.arange(lanes, dtype=jnp.int32)
     pixel0, lkeys0, o0, d0 = spawn(init_work)
 
+    reorder = use_wavefront_reorder(scene)
+
     state = dict(
         work=init_work,                               # -1 => lane idle
         pixel=pixel0,
@@ -116,10 +119,34 @@ def render_radiance_regen(
         segments=jnp.float32(0.0),
         iters=jnp.int32(0),
     )
+    if reorder:
+        state["cluster"] = jnp.zeros(lanes, jnp.int32)
+
+    _scalar_keys = ("issued", "acc", "segments", "iters")
+
+    def reorder_lanes(s):
+        """Sort the lane pool by (last-hit cluster, direction octant)
+        so the projected kernel sees cluster-homogeneous ray blocks
+        (see integrator._reorder_wavefront; lanes carry their pixel /
+        RNG key / accumulator, so the estimator is unchanged)."""
+        d, alive, cluster = s["d"], s["alive"], s["cluster"]
+        iota = jnp.arange(lanes, dtype=jnp.int32)
+        octant = (
+            (d[:, 0] < 0).astype(jnp.int32) * 4
+            + (d[:, 1] < 0).astype(jnp.int32) * 2
+            + (d[:, 2] < 0).astype(jnp.int32)
+        )
+        key_ = jnp.where(alive, cluster * 8 + octant, np.int32(2 ** 30))
+        _, perm = jax.lax.sort((key_, iota), num_keys=1)
+        return {
+            k: (v if k in _scalar_keys else v[perm]) for k, v in s.items()
+        }
 
     def bounce(s):
         """One bounce for the live lanes; finished lanes hold their
         radiance (alive=False, work kept) until the next flush."""
+        if reorder:
+            s = reorder_lanes(s)
         o, d, thr, rad = s["o"], s["d"], s["thr"], s["rad"]
         alive, depth, lkeys = s["alive"], s["depth"], s["lkeys"]
         segments = s["segments"] + jnp.sum(alive.astype(jnp.float32))
@@ -147,10 +174,13 @@ def render_radiance_regen(
         o = vm.where(cont, rec.point, o)
         d = vm.where(cont, sc.direction, d)
 
-        return dict(
+        out = dict(
             s, o=o, d=d, thr=thr, rad=rad, depth=depth, alive=cont,
             segments=segments, iters=s["iters"] + 1,
         )
+        if reorder:
+            out["cluster"] = jnp.where(hit_mask, _cl, 0)
+        return out
 
     def flush_refill(s):
         """Scatter finished lanes' radiance into the accumulator and

@@ -58,3 +58,27 @@ def test_regen_pool_larger_than_queue():
     a, _ = render_radiance(scene, cam, s, KEY)
     b, _ = render_radiance_regen(scene, cam, s, KEY, lanes=4096)
     assert np.abs(np.asarray(a) - np.asarray(b)).max() < 5e-3
+
+
+def test_regen_reorder_matches_chunked(monkeypatch):
+    """Regen with cluster reordering (projected interpret path) must
+    keep the estimator identical to the chunked renderer."""
+    import numpy as np
+    from rust_pathtracer_tpu.render import RenderSettings, render_radiance
+    from rust_pathtracer_tpu.wavefront import render_radiance_regen
+    from tests.test_integrator import _cluster_scene
+
+    monkeypatch.setenv("RPT_PROJ_INTERPRET", "1")
+    monkeypatch.setenv("RPT_BIN", "1")
+    scene = _cluster_scene(600)
+    from rust_pathtracer_tpu.camera import make_camera
+
+    cam = make_camera((0, 0, 30), (0, 0, 0), (0, 1, 0), 45.0, 1.0, 0.0, 10.0)
+    s = RenderSettings(24, 24, 8, 5, (0.6, 0.7, 0.9), spp_chunk=8)
+    img_c, st_c = render_radiance(scene, cam, s, jax.random.PRNGKey(4))
+    img_r, st_r = render_radiance_regen(scene, cam, s, jax.random.PRNGKey(4),
+                                        lanes=1024, flush_every=3)
+    a, b = np.asarray(img_c), np.asarray(img_r)
+    assert abs(float(st_c.segments) - float(st_r.segments)) < 1e-3
+    np.testing.assert_allclose(a.mean(), b.mean(), rtol=2e-3)
+    assert np.isclose(a, b, rtol=1e-2, atol=1e-2).mean() > 0.97
