@@ -223,3 +223,31 @@ def test_gradient_descent_recovers_albedo():
         )
     got = np.asarray(params.tex_color[0])
     assert np.allclose(got, [0.8, 0.3, 0.5], atol=0.03), got
+
+
+def test_diff_search_kernel_matches_jnp(monkeypatch):
+    """Diff mode may route the DETACHED hit search through the v1
+    Pallas kernel; radiance and gradients must match the jnp search
+    (idx/hit are exact between the two; t is re-derived either way)."""
+    scene = _scene_simple()
+    cam = CameraParams.create((0, 0, 1), (0, 0, -3), (0, 1, 0), 50.0, 1.0)
+    settings = RenderSettings(10, 10, 4, 3, (0.8, 0.8, 1.0))
+    params = DiffParams.from_scene(scene, cam, settings.background)
+
+    monkeypatch.delenv("RPT_PROJ_INTERPRET", raising=False)
+    img_jnp = render_radiance_diff(params, scene, settings, KEY)
+    loss_jnp, g_jnp = render_loss_and_grad(
+        params, scene, settings, KEY, jnp.zeros((10, 10, 3))
+    )
+    monkeypatch.setenv("RPT_PROJ_INTERPRET", "1")  # forces kernel search
+    img_k = render_radiance_diff(params, scene, settings, KEY)
+    loss_k, g_k = render_loss_and_grad(
+        params, scene, settings, KEY, jnp.zeros((10, 10, 3))
+    )
+    np.testing.assert_allclose(np.asarray(img_jnp), np.asarray(img_k),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(loss_jnp), float(loss_k), rtol=1e-6)
+    fa, _ = jax.flatten_util.ravel_pytree(g_jnp)
+    fb, _ = jax.flatten_util.ravel_pytree(g_k)
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                               rtol=1e-4, atol=1e-6)
