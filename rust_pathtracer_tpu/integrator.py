@@ -207,8 +207,11 @@ def _reorder_wavefront(state, bounce):
     reference's per-ray BVH pruning (bvh.rs:106-126).  Dead lanes sort
     to the end, so whole blocks of them skip every sweep.  Per-lane
     results are unchanged (each lane carries its RNG key and lane id);
-    only the wavefront layout moves.  Skipped at bounce 0: camera rays
-    are already pixel-coherent.
+    only the wavefront layout moves.  Skipped at bounce 0 (camera rays
+    are already pixel-coherent) and once occupancy collapses below 1/8
+    (dead lanes stay where the last sort packed them, so live lanes
+    remain cluster-grouped; re-sorting a mostly-dead wavefront costs
+    more than the residual incoherence does).
     """
     def do_sort(s):
         d, alive, cluster = s["d"], s["alive"], s["cluster"]
@@ -227,7 +230,9 @@ def _reorder_wavefront(state, bounce):
             for k, v in s.items()
         }
 
-    return jax.lax.cond(bounce > 0, do_sort, lambda s: s, state)
+    n_alive = jnp.sum(state["alive"].astype(jnp.int32))
+    want = (bounce > 0) & (n_alive * 8 > state["alive"].shape[0])
+    return jax.lax.cond(want, do_sort, lambda s: s, state)
 
 
 def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
