@@ -208,10 +208,12 @@ def _reorder_wavefront(state, bounce):
     to the end, so whole blocks of them skip every sweep.  Per-lane
     results are unchanged (each lane carries its RNG key and lane id);
     only the wavefront layout moves.  Skipped at bounce 0 (camera rays
-    are already pixel-coherent) and once occupancy collapses below 1/8
-    (dead lanes stay where the last sort packed them, so live lanes
-    remain cluster-grouped; re-sorting a mostly-dead wavefront costs
-    more than the residual incoherence does).
+    are already pixel-coherent) and once occupancy collapses below 1/64
+    (dead lanes stay where the last sort packed them; surviving lanes
+    drift to new clusters each bounce, but a few thousand incoherent
+    lanes occupy so few blocks that re-sorting 1M lanes costs more than
+    the extra sweeps — measured: gating at 1/8 LOST 1.3 s/chunk on
+    ModelTest to coherence decay, so the threshold must stay low).
     """
     def do_sort(s):
         d, alive, cluster = s["d"], s["alive"], s["cluster"]
@@ -231,7 +233,7 @@ def _reorder_wavefront(state, bounce):
         }
 
     n_alive = jnp.sum(state["alive"].astype(jnp.int32))
-    want = (bounce > 0) & (n_alive * 8 > state["alive"].shape[0])
+    want = (bounce > 0) & (n_alive * 64 > state["alive"].shape[0])
     return jax.lax.cond(want, do_sort, lambda s: s, state)
 
 

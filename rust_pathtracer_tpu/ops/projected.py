@@ -792,7 +792,16 @@ def closest_hit_projected(tables: ProjTables, o, d, t_min, interpret=False,
     import os
 
     if block_rows is None:
-        block_rows = int(os.environ.get("RPT_BLOCK_ROWS", BLOCK_ROWS))
+        env = os.environ.get("RPT_BLOCK_ROWS")
+        if env is not None:
+            block_rows = int(env)
+        else:
+            # floor-vs-VMEM trade: each grid step costs ~33 us of fixed
+            # work, so small-column scenes want big ray blocks; the
+            # commit's (rb, C) one-hot bounds rb for big-column scenes
+            # (24 MB scoped-VMEM OOM measured at 16 x 10240)
+            C = tables.num_cols
+            block_rows = 16 if C <= 2048 else (8 if C <= 6144 else BLOCK_ROWS)
     super_groups = int(os.environ.get("RPT_SUPER", 8))
     R = o.shape[0]
     rb = block_rows * 128
