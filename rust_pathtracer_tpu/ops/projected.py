@@ -756,6 +756,23 @@ def use_wavefront_reorder(tables: ProjTables) -> bool:
     return n_real >= 4
 
 
+def use_worklist(tables: ProjTables) -> bool:
+    """Static routing to the v3 pair-worklist kernel (ops/worklist.py):
+    on for any scene with >=2 real clusters (the worklist degenerates
+    gracefully to ~dense for fully-coherent loads and wins everywhere
+    the per-step floor or untouched clusters dominate).  RPT_V3=0/1
+    overrides for A/B measurement."""
+    import os
+
+    mode = os.environ.get("RPT_V3", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    n_real = sum(1 for k in tables.group_kinds if k != -1)
+    return n_real >= 2
+
+
 def closest_hit_record_projected(scene, o, d, t_min, interpret=False):
     """Projected sweep + full HitRecord from the in-kernel payload.
 
@@ -768,9 +785,16 @@ def closest_hit_record_projected(scene, o, d, t_min, interpret=False):
     """
     from rust_pathtracer_tpu.ops.intersect import record_from_rows
 
-    hit, t, pay, col = closest_hit_projected(
-        scene.proj, o, d, t_min, interpret, with_column=True
-    )
+    if use_worklist(scene.proj):
+        from rust_pathtracer_tpu.ops.worklist import closest_hit_pairs
+
+        hit, t, pay, col = closest_hit_pairs(
+            scene.proj, o, d, t_min, interpret, with_column=True
+        )
+    else:
+        hit, t, pay, col = closest_hit_projected(
+            scene.proj, o, d, t_min, interpret, with_column=True
+        )
     kind = jnp.round(pay[:, PAY_KIND]).astype(jnp.int32)
     aux = jnp.round(pay[:, PAY_AUX]).astype(jnp.int32)
     mat = jnp.round(pay[:, PAY_MAT]).astype(jnp.int32)
@@ -797,11 +821,12 @@ def closest_hit_projected(tables: ProjTables, o, d, t_min, interpret=False,
             block_rows = int(env)
         else:
             # floor-vs-VMEM trade: each grid step costs ~33 us of fixed
-            # work, so small-column scenes want big ray blocks; the
-            # commit's (rb, C) one-hot bounds rb for big-column scenes
-            # (24 MB scoped-VMEM OOM measured at 16 x 10240)
+            # work, so small-column scenes want bigger ray blocks; the
+            # commit's (rb, col_block) one-hot bounds rb (measured
+            # scoped-VMEM OOMs: 24 MB at 16x10240, 19.8 MB at 16x640 —
+            # 8 rows is the proven-safe tier for single-p-block scenes)
             C = tables.num_cols
-            block_rows = 16 if C <= 2048 else (8 if C <= 6144 else BLOCK_ROWS)
+            block_rows = 8 if C <= 2048 else BLOCK_ROWS
     super_groups = int(os.environ.get("RPT_SUPER", 8))
     R = o.shape[0]
     rb = block_rows * 128
