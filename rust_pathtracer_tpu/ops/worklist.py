@@ -14,16 +14,21 @@ This module moves the culling OUT of the kernel:
 * XLA slab-tests every ray against every 128-column cluster AABB
   (one (R, G) vector op, bvh.rs:18-35 semantics) and OR-reduces per
   ray block -> a boolean (blocks, clusters) matrix.
-* The true pairs are compacted (cumsum + scatter; no sort) into a
-  fixed-capacity worklist of (block, cluster) pairs ordered
-  block-major / cluster-ascending, padded with no-op entries.  A
-  leading "dummy" pair per block guarantees every block is visited
-  (initialised + flushed) even when all its lanes are dead.
-* The Pallas grid is the worklist itself: scalar-prefetched arrays
-  drive the BlockSpec index maps, so each step DMAs one ray block and
-  ONE cluster's 128 table columns.  Per-block running best lives in
-  scratch across the block's consecutive steps and is flushed to the
-  output on the block's last pair.
+* Each block's passing clusters are compacted (per-row cumsum +
+  scatter; no sort) into a fixed number of per-block slots, clusters
+  ascending, unused slots marked kind = -1 (no-op).
+* The Pallas grid is (blocks * kcap,): the ray-block index is the
+  STATIC expression ``w // kcap``, so the rays input and all three
+  outputs have statically schedulable, monotonic index maps and
+  Mosaic streams them block by block.  Only the per-cluster table
+  specs (a few hundred KB) use scalar-prefetched data-dependent maps
+  (the flash-decode pattern).  An earlier layout with a globally
+  compacted pair list made the OUTPUT maps data-dependent too —
+  Mosaic then stack-allocated the full outputs in scoped VMEM
+  (17.97M > 16M limit at just 131k rays, remote compile failure).
+* Per-block running best lives in scratch across the block's kcap
+  consecutive steps; slot 0 initialises it, the last slot flushes it
+  to the output block.
 
 Per-step work is one (rb, 8) x (8, 128) sweep + a (rb, 128) winner
 one-hot — independent of scene size.  This is the TPU-native
@@ -31,9 +36,9 @@ equivalent of the reference BVH's "only visit nodes the ray enters"
 pruning (/root/reference/src/bvh.rs:106-126), with the tree walk
 replaced by a data-parallel worklist build.
 
-If a wavefront is so incoherent that the worklist capacity overflows,
-the call falls back to the v2 dense-culled sweep (lax.cond) — results
-are bitwise identical either way, capacity only affects speed.
+If any ray block passes more clusters than it has slots, the call
+falls back to the v2 dense-culled sweep (lax.cond) — results are
+bitwise identical either way, capacity only affects speed.
 
 Results are bitwise identical to the v2 kernel / jnp reference: pairs
 are enumerated cluster-ascending and compared with the same strict
@@ -71,29 +76,27 @@ from rust_pathtracer_tpu.scene.types import PRIM_SPHERE
 # be larger than the v2 kernel's (measured OOMs bound that one at 8
 # rows) — 16 rows x 128 lanes = 2048 rays
 WL_BLOCK_ROWS = 16
-# worklist capacity per ray block (incl. the dummy entry); overflow
-# falls back to the dense-culled v2 sweep for the whole call
-WL_KAVG = 12
+# cluster slots per ray block; any block needing more overflows the
+# whole call to the dense-culled v2 sweep (speed, not correctness)
+WL_KCAP = 12
 
 # meta row layout (scalar-prefetched, SMEM)
-M_BLK, M_CID, M_KIND, M_FIRST, M_LAST, M_CL = 0, 1, 2, 3, 4, 5
+M_CID, M_KIND = 0, 1
 
 
 def build_pair_worklist(cluster_bounds, group_kinds, o, d, t_min, rb, kcap):
-    """Compacted (ray-block, cluster) pair list.
+    """Per-block cluster slot table.
 
     cluster_bounds: (6, G) per-cluster AABBs (padding clusters carry
     inverted boxes and never pass).  o, d: (Rp, 3) with Rp % rb == 0.
-    Returns (meta (6, W) int32, overflow bool) with W = (Rp/rb) * kcap.
-
-    Pair order is block-major, clusters ascending within a block, with
-    a dummy (cluster -1) entry leading every block — identical sweep
-    order to the v2 kernel's sequential group loop, so tie-breaking
-    matches bitwise.
+    Returns (meta (2, W) int32, overflow bool) with
+    W = (Rp/rb) * min(kcap, G); slot rows are [cluster id (clamped),
+    prim kind (-1 = empty slot)], clusters ascending within a block.
     """
     R = o.shape[0]
     G = cluster_bounds.shape[1]
     nblocks = R // rb
+    kcap = min(kcap, G)
 
     tiny = np.float32(1e-30)
     dsafe = jnp.where(jnp.abs(d) < tiny, jnp.where(d < 0.0, -tiny, tiny), d)
@@ -105,56 +108,42 @@ def build_pair_worklist(cluster_bounds, group_kinds, o, d, t_min, rb, kcap):
         b1 = (cluster_bounds[3 + ax][None, :] - o[:, ax:ax + 1]) * inv_d[:, ax:ax + 1]
         lo = jnp.maximum(lo, jnp.minimum(b0, b1))
         hi = jnp.minimum(hi, jnp.maximum(b0, b1))
-    blockpass = (hi >= lo).reshape(nblocks, rb, G).any(axis=1)
+    blockpass = (hi >= lo).reshape(nblocks, rb, G).any(axis=1)  # (nblocks, G)
 
-    mask = jnp.concatenate(
-        [jnp.ones((nblocks, 1), jnp.bool_), blockpass], axis=1
-    )  # (nblocks, G+1); column 0 = per-block dummy
-    flat = mask.reshape(-1)
-    M = flat.shape[0]
-    W = nblocks * min(kcap, G + 1)
-
-    # sort-free stable compaction: position by cumsum, scatter indices
-    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
-    count = pos[-1] + 1
-    fill = np.int32((nblocks - 1) * (G + 1))  # last block's dummy
-    src = jnp.arange(M, dtype=jnp.int32)
-    idx = jnp.full((W,), fill, jnp.int32).at[
-        jnp.where(flat, pos, W)
-    ].set(src, mode="drop")
-
-    blk = idx // np.int32(G + 1)
-    cl = idx % np.int32(G + 1) - 1  # -1 = dummy
-    kinds_np = np.asarray((-1,) + tuple(group_kinds), np.int32)
-    (kind,) = table_ops.lookup(cl + 1, jnp.asarray(kinds_np))
-    first = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), blk[1:] != blk[:-1]]
-    ).astype(jnp.int32)
-    last = jnp.concatenate(
-        [blk[:-1] != blk[1:], jnp.ones((1,), jnp.bool_)]
-    ).astype(jnp.int32)
-    meta = jnp.stack(
-        [blk, jnp.maximum(cl, 0), kind, first, last, jnp.maximum(cl, 0)]
+    # per-row stable compaction: slot by cumsum, scatter cluster ids
+    pos = jnp.cumsum(blockpass.astype(jnp.int32), axis=1) - 1
+    count = pos[:, -1] + 1
+    overflow = jnp.any(count > kcap)
+    W = nblocks * kcap
+    rowbase = jnp.arange(nblocks, dtype=jnp.int32)[:, None] * np.int32(kcap)
+    slot = jnp.where(blockpass & (pos < kcap), rowbase + pos, np.int32(W))
+    colid = jnp.broadcast_to(
+        jnp.arange(G, dtype=jnp.int32)[None, :], (nblocks, G)
     )
-    return meta.astype(jnp.int32), count > W
+    cid = jnp.full((W,), -1, jnp.int32).at[slot.reshape(-1)].set(
+        colid.reshape(-1), mode="drop"
+    )
+    kinds_np = np.asarray((-1,) + tuple(group_kinds), np.int32)
+    (kind,) = table_ops.lookup(cid + 1, jnp.asarray(kinds_np))
+    meta = jnp.stack([jnp.maximum(cid, 0), kind])
+    return meta.astype(jnp.int32), overflow
 
 
-def _pair_kernel(distinct_kinds, t_min, m_ref,
+def _pair_kernel(distinct_kinds, t_min, kcap, m_ref,
                  rays_ref, a_ref, b_ref, k_ref, pay_ref,
                  t_ref, c_ref, payout_ref, tb_ref, cb_ref, pb_ref):
-    """One grid step = one (ray block, cluster) pair.
+    """One grid step = one (ray block, cluster slot) pair.
 
-    Scratch carries the block's running best across its consecutive
-    pairs; outputs are written once, on the block's last pair.
+    Scratch carries the block's running best across its kcap
+    consecutive slots; outputs are written once, on the last slot.
     """
     w = pl.program_id(0)
+    j = jax.lax.rem(w, kcap)
     kind = m_ref[M_KIND, w]
-    first = m_ref[M_FIRST, w]
-    last = m_ref[M_LAST, w]
-    cl = m_ref[M_CL, w]
+    cl = m_ref[M_CID, w]
     hp = jax.lax.Precision.HIGHEST
 
-    @pl.when(first == 1)
+    @pl.when(j == 0)
     def _init():
         tb_ref[:] = jnp.full(tb_ref.shape, T_MISS, jnp.float32)
         cb_ref[:] = jnp.full(cb_ref.shape, -1, jnp.int32)
@@ -220,7 +209,7 @@ def _pair_kernel(distinct_kinds, t_min, m_ref,
                     )
                     finish(tgs, False)
 
-    @pl.when(last == 1)
+    @pl.when(j == kcap - 1)
     def _flush():
         t_ref[:] = tb_ref[:]
         c_ref[:] = cb_ref[:]
@@ -229,29 +218,34 @@ def _pair_kernel(distinct_kinds, t_min, m_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("distinct_kinds", "t_min", "block_rows", "interpret"),
+    static_argnames=("distinct_kinds", "t_min", "block_rows", "kcap",
+                     "interpret"),
 )
 def _closest_hit_pairs(rays, a, b, const, payload, meta, *,
-                       distinct_kinds, t_min, block_rows, interpret):
+                       distinct_kinds, t_min, block_rows, kcap, interpret):
     R8 = rays.shape[0]
     rb = block_rows * 128
     W = meta.shape[1]
 
-    kernel = functools.partial(_pair_kernel, distinct_kinds, t_min)
+    kernel = functools.partial(_pair_kernel, distinct_kinds, t_min, kcap)
+    # ray-block index is static in the grid step -> rays/outputs have
+    # statically schedulable monotonic maps (Mosaic streams them);
+    # only the small per-cluster table specs are scalar-driven
+    blk = lambda w, m: (w // kcap, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(W,),
         in_specs=[
-            pl.BlockSpec((rb, 8), lambda w, m: (m[M_BLK, w], 0)),
+            pl.BlockSpec((rb, 8), blk),
             pl.BlockSpec((3, 8, GROUP), lambda w, m: (0, 0, m[M_CID, w])),
             pl.BlockSpec((3, 8, GROUP), lambda w, m: (0, 0, m[M_CID, w])),
             pl.BlockSpec((8, GROUP), lambda w, m: (0, m[M_CID, w])),
             pl.BlockSpec((GROUP, PAY_W), lambda w, m: (m[M_CID, w], 0)),
         ],
         out_specs=(
-            pl.BlockSpec((rb, 1), lambda w, m: (m[M_BLK, w], 0)),
-            pl.BlockSpec((rb, 1), lambda w, m: (m[M_BLK, w], 0)),
-            pl.BlockSpec((rb, PAY_W), lambda w, m: (m[M_BLK, w], 0)),
+            pl.BlockSpec((rb, 1), blk),
+            pl.BlockSpec((rb, 1), blk),
+            pl.BlockSpec((rb, PAY_W), blk),
         ),
         scratch_shapes=[
             pltpu.VMEM((rb, 1), jnp.float32),
@@ -279,7 +273,7 @@ def closest_hit_pairs(tables: ProjTables, o, d, t_min, interpret=False,
     if block_rows is None:
         block_rows = int(os.environ.get("RPT_WL_ROWS", WL_BLOCK_ROWS))
     if kcap is None:
-        kcap = int(os.environ.get("RPT_WL_KAVG", WL_KAVG))
+        kcap = int(os.environ.get("RPT_WL_KCAP", WL_KCAP))
     R = o.shape[0]
     rb = block_rows * 128
     Rp = _pad_up(R, rb)
@@ -289,13 +283,14 @@ def closest_hit_pairs(tables: ProjTables, o, d, t_min, interpret=False,
     meta, overflow = build_pair_worklist(
         tables.cluster_bounds, tables.group_kinds, o_p, d_p, t_min, rb, kcap
     )
+    kcap_eff = meta.shape[1] // (Rp // rb)
     distinct = tuple(sorted(set(k for k in tables.group_kinds if k != -1)))
 
     def run_worklist(_):
         return _closest_hit_pairs(
             rays, tables.a, tables.b, tables.const, tables.payload, meta,
             distinct_kinds=distinct, t_min=float(t_min),
-            block_rows=block_rows, interpret=interpret,
+            block_rows=block_rows, kcap=kcap_eff, interpret=interpret,
         )
 
     def run_dense(_):

@@ -74,7 +74,7 @@ def test_worklist_overflow_falls_back_dense():
     tables = _tables(scene)
     o, d = _rays(1500, seed=13)
     res2 = closest_hit_projected(tables, o, d, 1e-3, interpret=True)
-    # kcap=1 leaves room only for the per-block dummies -> overflow
+    # kcap=1: any block passing >1 cluster overflows -> dense fallback
     res3 = closest_hit_pairs(tables, o, d, 1e-3, interpret=True, kcap=1)
     _assert_match(res2, res3)
 
@@ -100,29 +100,29 @@ def test_worklist_dead_parked_lanes():
 
 
 def test_worklist_build_structure():
-    """Worklist invariants: block-major order, dummy-first per block,
-    first/last flags consistent, every block present."""
+    """Worklist invariants: uniform kcap slots per block, clusters
+    ascending, real slots lead, empty slots are kind = -1."""
     import jax.numpy as jnp
 
     scene = _mixed_scene(200, 20, 150, seed=8)
     tables = _tables(scene)
     o, d = _rays(4096, seed=9)
-    rb = 2048
+    rb, kcap = 2048, 12
     meta, overflow = build_pair_worklist(
         tables.cluster_bounds, tables.group_kinds,
-        jnp.asarray(o), jnp.asarray(d), 1e-3, rb, 12,
+        jnp.asarray(o), jnp.asarray(d), 1e-3, rb, kcap,
     )
     assert not bool(overflow)
     m = np.asarray(meta)
-    blk, cid, kind, first, last, cl = m
-    assert (np.diff(blk) >= 0).all()
     nblocks = 4096 // rb
-    assert set(range(nblocks)) <= set(blk.tolist())
+    kcap_eff = m.shape[1] // nblocks
+    assert kcap_eff <= kcap
+    cid, kind = m.reshape(2, nblocks, kcap_eff)
+    kinds_ref = np.asarray(tables.group_kinds)
     for bkt in range(nblocks):
-        rows = np.nonzero(blk == bkt)[0]
-        assert kind[rows[0]] == -1  # dummy leads
-        assert first[rows[0]] == 1 and first[rows[1:]].sum() == 0
-        inner = cl[rows][kind[rows] >= 0]
+        real = kind[bkt] >= 0
+        n = int(real.sum())
+        assert real[:n].all() and not real[n:].any()  # real slots lead
+        inner = cid[bkt][real]
         assert (np.diff(inner) > 0).all()  # clusters ascending
-    # exactly one last flag per distinct block transition
-    assert last.sum() == len(np.unique(blk))
+        np.testing.assert_array_equal(kinds_ref[inner], kind[bkt][real])
