@@ -384,7 +384,20 @@ def trace(
             )
 
         def scan_body(state, bounce):
-            return step(state, bounce), None
+            # reverse-mode AD forbids while_loop, but the while_loop's
+            # early exit is recoverable: a bounce step over an all-dead
+            # wavefront is EXACTLY the identity on the carry (every
+            # update is alive-masked and n_alive = 0), so skipping it
+            # via cond is bitwise-identical fwd and bwd while making
+            # the dead-tail bounces cost a state copy instead of a
+            # full search+shade (measured 53.8 ms while_loop vs
+            # 74.1 ms fixed scan on CornellBox 1M lanes, DESIGN.md §10)
+            return jax.lax.cond(
+                jnp.any(state["alive"]),
+                lambda s: step(s, bounce),
+                lambda s: s,
+                state,
+            ), None
 
         state, _ = jax.lax.scan(
             scan_body, init, jnp.arange(max_bounces, dtype=jnp.int32)
