@@ -773,6 +773,23 @@ def use_worklist(tables: ProjTables) -> bool:
     return n_real >= 2
 
 
+def use_resident(tables: ProjTables) -> bool:
+    """Static routing to the v4 table-resident kernel (ops/resident.py):
+    on when the projected tables fit the VMEM budget and the scene has
+    >=2 real clusters.  RPT_V4=0/1 overrides for A/B measurement."""
+    import os
+
+    from rust_pathtracer_tpu.ops.resident import RES_MAX_COLS
+
+    mode = os.environ.get("RPT_V4", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    n_real = sum(1 for k in tables.group_kinds if k != -1)
+    return n_real >= 2 and tables.num_cols <= RES_MAX_COLS
+
+
 def closest_hit_record_projected(scene, o, d, t_min, interpret=False):
     """Projected sweep + full HitRecord from the in-kernel payload.
 
@@ -785,7 +802,13 @@ def closest_hit_record_projected(scene, o, d, t_min, interpret=False):
     """
     from rust_pathtracer_tpu.ops.intersect import record_from_rows
 
-    if use_worklist(scene.proj):
+    if use_resident(scene.proj):
+        from rust_pathtracer_tpu.ops.resident import closest_hit_resident
+
+        hit, t, pay, col = closest_hit_resident(
+            scene.proj, o, d, t_min, interpret, with_column=True
+        )
+    elif use_worklist(scene.proj):
         from rust_pathtracer_tpu.ops.worklist import closest_hit_pairs
 
         hit, t, pay, col = closest_hit_pairs(

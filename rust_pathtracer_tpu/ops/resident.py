@@ -1,0 +1,251 @@
+"""Table-resident closest hit (v4 kernel): one grid step per ray
+block, whole projected table in VMEM, in-kernel loop over the block's
+passing clusters.
+
+The v3 worklist kernel (ops/worklist.py) pays a measured ~8-9 us per
+GRID STEP on v5e (DMA issue + semaphores on the scalar-prefetched
+table specs) — at ModelTest's 12288 steps/bounce that floor alone is
+~110 ms/bounce, 50x the sweep's compute SOL.  This kernel removes the
+per-pair grid step entirely:
+
+* The full projected tables ride in VMEM with STATIC index maps, laid
+  out so no buffer pads its minor dim to 128 lanes: a/b (3, 8, C),
+  const (8, C), and the winner payload TRANSPOSED to (32, C) —
+  ~C x 352 B total, 3.6 MB for ModelTest's C = 10240.  Mosaic DMAs
+  them once and keeps them resident across the whole grid.
+* The grid is (ray blocks,).  Each step loads one (rb, 8) ray block,
+  then runs an in-kernel ``fori_loop`` over that block's real worklist
+  slots (count scalar-prefetched from SMEM), dynamic-slicing one
+  128-column cluster out of the resident tables per iteration
+  (``pl.ds`` at ``pl.multiple_of(cl * 128, 128)`` lane offsets).
+* Per-block running best lives in scratch; outputs are written once
+  per block.  Empty slots are never visited, so the per-bounce cost
+  is ~(real pairs) x sweep compute with no no-op floor.
+
+The slot list itself is the same per-block compaction the v3 kernel
+uses (``worklist.build_pair_worklist``) — XLA slab-tests every ray
+against every cluster AABB (bvh.rs:18-35 semantics) and compacts
+passing clusters, ascending.  Enumeration order, improvement rule and
+per-kind formulas are identical to v2/v3, so results are bitwise
+identical; block-capacity overflow falls back to the v2 dense sweep
+(lax.cond), which only affects speed.
+
+This is the TPU-native endpoint of the reference BVH's pruning
+(/root/reference/src/bvh.rs:106-126) for scenes whose tables fit
+VMEM (<= ~12k projected columns); larger scenes route to v3.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rust_pathtracer_tpu.ops.intersect import T_MISS
+from rust_pathtracer_tpu.ops.projected import (
+    GROUP,
+    PAY_W,
+    ProjTables,
+    _closest_hit_projected,
+    _group_q_sphere,
+    _group_t,
+    _pad_up,
+    _ray_matrix,
+)
+from rust_pathtracer_tpu.ops.worklist import M_CID, M_KIND, build_pair_worklist
+
+RES_BLOCK_ROWS = 8
+RES_KCAP = 12
+# resident-table budget: C*352 B of VMEM for a/b/const/payT; 12k cols
+# ~= 4.2 MB leaves room for ray/output blocks and scratch under the
+# 16 MB scoped limit
+RES_MAX_COLS = 12288
+
+
+def _res_kernel(distinct_kinds, t_min, kcap, m_ref, cnt_ref,
+                rays_ref, a_ref, b_ref, k_ref, payt_ref,
+                t_ref, c_ref, payout_ref, tb_ref, cb_ref, pb_ref):
+    """One grid step = one ray block; in-kernel loop over its slots."""
+    blk = pl.program_id(0)
+    n_slots = cnt_ref[blk]
+    hp = jax.lax.Precision.HIGHEST
+
+    rays = rays_ref[:]  # (rb, 8)
+    o = rays[:, 0:3]
+    d = rays[:, 3:6]
+    onorm = jnp.sum(o * o, axis=-1, keepdims=True)
+    odot = jnp.sum(o * d, axis=-1, keepdims=True)
+    dnorm = jnp.sum(d * d, axis=-1, keepdims=True)
+
+    tb_ref[:] = jnp.full(tb_ref.shape, T_MISS, jnp.float32)
+    cb_ref[:] = jnp.full(cb_ref.shape, -1, jnp.int32)
+    pb_ref[:] = jnp.zeros(pb_ref.shape, jnp.float32)
+
+    def slot(j, _):
+        w = blk * kcap + j
+        kind = m_ref[M_KIND, w]
+        cl = m_ref[M_CID, w]
+        off = pl.multiple_of(cl * GROUP, GROUP)
+        kconst = k_ref[:, pl.ds(off, GROUP)]  # (8, GROUP)
+
+        def finish(tgs, q_domain):
+            gt = jnp.min(tgs, axis=1, keepdims=True)  # (rb, 1)
+            iota = jax.lax.broadcasted_iota(jnp.int32, tgs.shape, 1)
+            gc = jnp.min(
+                jnp.where(tgs <= gt, iota, np.int32(2 ** 30)),
+                axis=1, keepdims=True,
+            )
+            if q_domain:
+                gt = jnp.where(gt >= T_MISS, T_MISS, gt / dnorm)
+            cur = tb_ref[:]
+            take = gt < cur
+            tb_ref[:] = jnp.where(take, gt, cur)
+            cb_ref[:] = jnp.where(take, gc + cl * GROUP, cb_ref[:])
+            onehot = (iota == gc).astype(jnp.float32)  # (rb, GROUP)
+            # (rb, GROUP) x (PAY_W, GROUP) contracted over GROUP: the
+            # payload rides VMEM transposed so its minor dim is C (no
+            # 128-lane padding) and slices on the lane axis
+            blk_pay = jax.lax.dot_general(
+                onehot, payt_ref[:, pl.ds(off, GROUP)],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=hp,
+            )
+            pb_ref[:] = jnp.where(take, blk_pay, pb_ref[:])
+
+        for tk in distinct_kinds:
+            @pl.when(kind == tk)
+            def _kind(tk=tk):
+                from rust_pathtracer_tpu.scene.types import PRIM_SPHERE
+
+                if tk == PRIM_SPHERE:
+                    O0 = jnp.dot(rays, a_ref[0, :, pl.ds(off, GROUP)],
+                                 preferred_element_type=jnp.float32,
+                                 precision=hp)
+                    D0 = jnp.dot(rays, b_ref[0, :, pl.ds(off, GROUP)],
+                                 preferred_element_type=jnp.float32,
+                                 precision=hp)
+                    tgs = _group_q_sphere(
+                        O0, D0, kconst, onorm, odot, dnorm, t_min
+                    )
+                    finish(tgs, True)
+                else:
+                    Og = [jnp.dot(rays, a_ref[i, :, pl.ds(off, GROUP)],
+                                  preferred_element_type=jnp.float32,
+                                  precision=hp) for i in range(3)]
+                    Dg = [jnp.dot(rays, b_ref[i, :, pl.ds(off, GROUP)],
+                                  preferred_element_type=jnp.float32,
+                                  precision=hp) for i in range(3)]
+                    tgs = _group_t(
+                        tk, Og[0], Og[1], Og[2], Dg[0], Dg[1], Dg[2],
+                        kconst, onorm, odot, dnorm, t_min,
+                    )
+                    finish(tgs, False)
+        return 0
+
+    jax.lax.fori_loop(0, n_slots, slot, 0)
+
+    t_ref[:] = tb_ref[:]
+    c_ref[:] = cb_ref[:]
+    payout_ref[:] = pb_ref[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("distinct_kinds", "t_min", "block_rows", "kcap",
+                     "interpret"),
+)
+def _closest_hit_resident(rays, a, b, const, payt, meta, counts, *,
+                          distinct_kinds, t_min, block_rows, kcap,
+                          interpret):
+    R8 = rays.shape[0]
+    rb = block_rows * 128
+    nblocks = R8 // rb
+    C = a.shape[2]
+
+    kernel = functools.partial(_res_kernel, distinct_kinds, t_min, kcap)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((rb, 8), lambda i, m, c: (i, 0)),
+            pl.BlockSpec((3, 8, C), lambda i, m, c: (0, 0, 0)),
+            pl.BlockSpec((3, 8, C), lambda i, m, c: (0, 0, 0)),
+            pl.BlockSpec((8, C), lambda i, m, c: (0, 0)),
+            pl.BlockSpec((PAY_W, C), lambda i, m, c: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((rb, 1), lambda i, m, c: (i, 0)),
+            pl.BlockSpec((rb, 1), lambda i, m, c: (i, 0)),
+            pl.BlockSpec((rb, PAY_W), lambda i, m, c: (i, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rb, 1), jnp.float32),
+            pltpu.VMEM((rb, 1), jnp.int32),
+            pltpu.VMEM((rb, PAY_W), jnp.float32),
+        ],
+    )
+    t, c, pay = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((R8, 1), jnp.float32),
+            jax.ShapeDtypeStruct((R8, 1), jnp.int32),
+            jax.ShapeDtypeStruct((R8, PAY_W), jnp.float32),
+        ),
+        interpret=interpret,
+    )(meta, counts, rays, a, b, const, payt)
+    return t[:, 0], c[:, 0], pay
+
+
+def closest_hit_resident(tables: ProjTables, o, d, t_min, interpret=False,
+                         block_rows=None, with_column=False, kcap=None):
+    """Resident-table closest hit; drop-in peer of
+    projected.closest_hit_projected (bitwise-identical results)."""
+    if block_rows is None:
+        block_rows = int(os.environ.get("RPT_RES_ROWS", RES_BLOCK_ROWS))
+    if kcap is None:
+        kcap = int(os.environ.get("RPT_RES_KCAP", RES_KCAP))
+    R = o.shape[0]
+    rb = block_rows * 128
+    Rp = _pad_up(R, rb)
+    o_p = jnp.pad(o, ((0, Rp - R), (0, 0)))
+    d_p = jnp.pad(d, ((0, Rp - R), (0, 0)))
+    rays = _ray_matrix(o_p, d_p)
+    meta, overflow = build_pair_worklist(
+        tables.cluster_bounds, tables.group_kinds, o_p, d_p, t_min, rb, kcap
+    )
+    nblocks = Rp // rb
+    kcap_eff = meta.shape[1] // nblocks
+    counts = jnp.sum(
+        (meta[M_KIND].reshape(nblocks, kcap_eff) >= 0).astype(jnp.int32),
+        axis=1,
+    )
+    distinct = tuple(sorted(set(k for k in tables.group_kinds if k != -1)))
+
+    def run_resident(_):
+        return _closest_hit_resident(
+            rays, tables.a, tables.b, tables.const, tables.payload.T, meta,
+            counts, distinct_kinds=distinct, t_min=float(t_min),
+            block_rows=block_rows, kcap=kcap_eff, interpret=interpret,
+        )
+
+    def run_dense(_):
+        return _closest_hit_projected(
+            rays, tables.a, tables.b, tables.const, tables.payload,
+            tables.cluster_bounds_v,
+            group_kinds=tables.group_kinds, t_min=float(t_min),
+            interpret=interpret, col_block=tables.col_block,
+        )
+
+    t, c, pay = jax.lax.cond(overflow, run_dense, run_resident, None)
+    t, c, pay = t[:R], c[:R], pay[:R]
+    hit = c >= 0
+    t = jnp.where(hit, t, T_MISS)
+    if with_column:
+        return hit, t, pay, c
+    return hit, t, pay
