@@ -384,20 +384,15 @@ def trace(
             )
 
         def scan_body(state, bounce):
-            # reverse-mode AD forbids while_loop, but the while_loop's
-            # early exit is recoverable: a bounce step over an all-dead
-            # wavefront is EXACTLY the identity on the carry (every
-            # update is alive-masked and n_alive = 0), so skipping it
-            # via cond is bitwise-identical fwd and bwd while making
-            # the dead-tail bounces cost a state copy instead of a
-            # full search+shade (measured 53.8 ms while_loop vs
-            # 74.1 ms fixed scan on CornellBox 1M lanes, DESIGN.md §10)
-            return jax.lax.cond(
-                jnp.any(state["alive"]),
-                lambda s: step(s, bounce),
-                lambda s: s,
-                state,
-            ), None
+            # NOTE: wrapping the body in lax.cond(any(alive)) to skip
+            # all-dead tail bounces (recovering the while_loop's early
+            # exit) is bitwise-identical but was measured 2.6x SLOWER
+            # fwd+bwd on v5e (261.8 ms vs 100.9 ms, CornellBox 1M
+            # lanes): the conditional is a fusion barrier in both the
+            # forward and the transposed scan, and the state copies it
+            # forces outweigh the skipped compute.  Keep the plain
+            # fixed-length body (DESIGN.md §10).
+            return step(state, bounce), None
 
         state, _ = jax.lax.scan(
             scan_body, init, jnp.arange(max_bounces, dtype=jnp.int32)

@@ -60,7 +60,6 @@ from rust_pathtracer_tpu.ops.projected import (
 from rust_pathtracer_tpu.ops.worklist import M_CID, M_KIND, build_pair_worklist
 
 RES_BLOCK_ROWS = 8
-RES_KCAP = 12
 # resident-table budget: C*352 B of VMEM for a/b/const/payT; 12k cols
 # ~= 4.2 MB leaves room for ray/output blocks and scratch under the
 # 16 MB scoped limit
@@ -70,7 +69,14 @@ RES_MAX_COLS = 12288
 def _res_kernel(distinct_kinds, t_min, kcap, m_ref, cnt_ref,
                 rays_ref, a_ref, b_ref, k_ref, payt_ref,
                 t_ref, c_ref, payout_ref, tb_ref, cb_ref, pb_ref):
-    """One grid step = one ray block; in-kernel loop over its slots."""
+    """One grid step = one ray block; in-kernel loop over its slots.
+
+    ``m_ref``: (W,) packed slot words ``cid * 4 + kind`` (one SMEM row
+    — the per-block capacity defaults to the full cluster count, so an
+    unpacked (2, W) layout would double the scalar-prefetch footprint).
+    Only the first ``cnt_ref[blk]`` slots of a block are real; the loop
+    never reads the rest.
+    """
     blk = pl.program_id(0)
     n_slots = cnt_ref[blk]
     hp = jax.lax.Precision.HIGHEST
@@ -87,9 +93,9 @@ def _res_kernel(distinct_kinds, t_min, kcap, m_ref, cnt_ref,
     pb_ref[:] = jnp.zeros(pb_ref.shape, jnp.float32)
 
     def slot(j, _):
-        w = blk * kcap + j
-        kind = m_ref[M_KIND, w]
-        cl = m_ref[M_CID, w]
+        word = m_ref[blk * kcap + j]
+        kind = jax.lax.rem(word, np.int32(4))
+        cl = jax.lax.div(word, np.int32(4))
         off = pl.multiple_of(cl * GROUP, GROUP)
         kconst = k_ref[:, pl.ds(off, GROUP)]  # (8, GROUP)
 
@@ -206,10 +212,18 @@ def closest_hit_resident(tables: ProjTables, o, d, t_min, interpret=False,
                          block_rows=None, with_column=False, kcap=None):
     """Resident-table closest hit; drop-in peer of
     projected.closest_hit_projected (bitwise-identical results)."""
+    G = tables.cluster_bounds.shape[1]
     if block_rows is None:
         block_rows = int(os.environ.get("RPT_RES_ROWS", RES_BLOCK_ROWS))
     if kcap is None:
-        kcap = int(os.environ.get("RPT_RES_KCAP", RES_KCAP))
+        # default capacity = FULL cluster count: overflow is then
+        # impossible (a block can pass at most G clusters), the dense
+        # fallback is never needed, and empty slots cost nothing
+        # because the in-kernel loop is count-based.  A 12-slot cap
+        # (the v3 default) silently routed nearly every ModelTest
+        # bounce to the dense sweep: one block passing >12 of 80
+        # clusters overflows the whole call.
+        kcap = int(os.environ.get("RPT_RES_KCAP", 0)) or G
     R = o.shape[0]
     rb = block_rows * 128
     Rp = _pad_up(R, rb)
@@ -225,24 +239,31 @@ def closest_hit_resident(tables: ProjTables, o, d, t_min, interpret=False,
         (meta[M_KIND].reshape(nblocks, kcap_eff) >= 0).astype(jnp.int32),
         axis=1,
     )
+    # one packed SMEM row: cid * 4 + kind (kind in 0..2 for real slots;
+    # empty slots are never read — the loop bound is counts[blk])
+    packed = meta[M_CID] * 4 + jnp.clip(meta[M_KIND], 0, 3)
     distinct = tuple(sorted(set(k for k in tables.group_kinds if k != -1)))
 
     def run_resident(_):
         return _closest_hit_resident(
-            rays, tables.a, tables.b, tables.const, tables.payload.T, meta,
-            counts, distinct_kinds=distinct, t_min=float(t_min),
+            rays, tables.a, tables.b, tables.const, tables.payload.T,
+            packed, counts, distinct_kinds=distinct, t_min=float(t_min),
             block_rows=block_rows, kcap=kcap_eff, interpret=interpret,
         )
 
-    def run_dense(_):
-        return _closest_hit_projected(
-            rays, tables.a, tables.b, tables.const, tables.payload,
-            tables.cluster_bounds_v,
-            group_kinds=tables.group_kinds, t_min=float(t_min),
-            interpret=interpret, col_block=tables.col_block,
-        )
+    if kcap_eff >= G:
+        # overflow statically impossible: no dense branch to compile
+        t, c, pay = run_resident(None)
+    else:
+        def run_dense(_):
+            return _closest_hit_projected(
+                rays, tables.a, tables.b, tables.const, tables.payload,
+                tables.cluster_bounds_v,
+                group_kinds=tables.group_kinds, t_min=float(t_min),
+                interpret=interpret, col_block=tables.col_block,
+            )
 
-    t, c, pay = jax.lax.cond(overflow, run_dense, run_resident, None)
+        t, c, pay = jax.lax.cond(overflow, run_dense, run_resident, None)
     t, c, pay = t[:R], c[:R], pay[:R]
     hit = c >= 0
     t = jnp.where(hit, t, T_MISS)

@@ -71,11 +71,12 @@ from rust_pathtracer_tpu.ops.projected import (
 from rust_pathtracer_tpu.ops import table as table_ops
 from rust_pathtracer_tpu.scene.types import PRIM_SPHERE
 
-# rays per kernel step; the per-step VMEM footprint no longer scales
-# with scene columns (one 128-column cluster per step), so blocks can
-# be larger than the v2 kernel's (measured OOMs bound that one at 8
-# rows) — 16 rows x 128 lanes = 2048 rays
-WL_BLOCK_ROWS = 16
+# rays per kernel step.  Every (rb, k<128) buffer pads its minor dim
+# to 128 lanes under TPU tiling, so each in/out/scratch buffer costs
+# rb*128*4 B of VMEM regardless of k; at 16 rows the ~18 buffers
+# (double-buffered ins/outs + scratch) hit 18.1M > 16M scoped VMEM
+# (measured remote-compile OOM).  8 rows ~= 9M fits.
+WL_BLOCK_ROWS = 8
 # cluster slots per ray block; any block needing more overflows the
 # whole call to the dense-culled v2 sweep (speed, not correctness)
 WL_KCAP = 12
