@@ -94,8 +94,10 @@ def _res_kernel(distinct_kinds, t_min, kcap, m_ref, cnt_ref,
 
     def slot(j, _):
         word = m_ref[blk * kcap + j]
-        kind = jax.lax.rem(word, np.int32(4))
-        cl = jax.lax.div(word, np.int32(4))
+        # bit ops, not rem/div: scalar-core integer division lowers
+        # poorly (measured 2.8x whole-chunk regression on SphereField)
+        kind = jax.lax.bitwise_and(word, np.int32(3))
+        cl = jax.lax.shift_right_logical(word, np.int32(2))
         off = pl.multiple_of(cl * GROUP, GROUP)
         kconst = k_ref[:, pl.ds(off, GROUP)]  # (8, GROUP)
 
