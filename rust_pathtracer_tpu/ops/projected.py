@@ -773,6 +773,15 @@ def use_worklist(tables: ProjTables) -> bool:
     return n_real >= 2
 
 
+def use_queue(tables: ProjTables) -> bool:
+    """Static routing to the v5 pair-queue kernel (ops/queue.py):
+    opt-in via RPT_V5=1 until its on-chip A/B lands.  Sweeps at the
+    per-ray volume bound instead of the block-union bound."""
+    import os
+
+    return os.environ.get("RPT_V5", "0") == "1"
+
+
 def use_resident(tables: ProjTables) -> bool:
     """Static routing to the v4 table-resident kernel (ops/resident.py):
     on when the projected tables fit the VMEM budget and the scene has
@@ -802,7 +811,13 @@ def closest_hit_record_projected(scene, o, d, t_min, interpret=False):
     """
     from rust_pathtracer_tpu.ops.intersect import record_from_rows
 
-    if use_resident(scene.proj):
+    if use_queue(scene.proj):
+        from rust_pathtracer_tpu.ops.queue import closest_hit_queue
+
+        hit, t, pay, col = closest_hit_queue(
+            scene.proj, o, d, t_min, interpret, with_column=True
+        )
+    elif use_resident(scene.proj):
         from rust_pathtracer_tpu.ops.resident import closest_hit_resident
 
         hit, t, pay, col = closest_hit_resident(
