@@ -36,9 +36,12 @@ if "obj_path" in kw:
 sd = get_scene(name, **kw)
 scene = sd.build()
 cam = sd.camera_at(0.0)
-spp = max(1, (1 << 20) // (w * h))
+# 4x the 1M-lane pool so the regen refill actually engages (a slice
+# equal to the pool degenerates to the chunked loop + flush overhead);
+# compare slice_s against 4x tpu_binning's chunk_s
+spp = 4 * max(1, (1 << 20) // (w * h))
 settings = RenderSettings(w, h, spp, nb, sd.output.image.background,
-                          spp_chunk=spp)
+                          spp_chunk=min(spp, max(1, (1 << 20) // (w * h))))
 
 if mode == "chunked":
     fn = lambda: render_radiance(scene, cam, settings, jax.random.PRNGKey(7))
