@@ -40,21 +40,24 @@ def main():
     objp = os.path.join(tempfile.mkdtemp(), "model.obj")
     write_benchmark_obj(objp)  # ~10k triangles, realistic ModelTest scale
 
-    # (name, kwargs, width, height, spp, bounces, rebuild_bvh, rr)
+    # (name, kwargs, width, height, spp, bounces, rebuild_bvh, rr, mode)
     # rr = Russian-roulette start bounce (BASELINE.json's north star
-    # includes per-bounce RR; unbiased).  Measured per scene on v5e:
-    # LightTest rr8 -27%, ModelTest rr4 -25%, CornellBox/SphereField
-    # flat-to-worse -> left off.
+    # includes per-bounce RR; unbiased).  mode: "regen" routes through
+    # the regeneration wavefront (estimator-identical; wavefront.py).
+    # Measured round 2 on v5e: LightTest regen flush_every=2 = 7.4 s
+    # with NO RR (vs 19.5 s chunked+rr8 in round 1, same mean).
+    # ModelTest keeps rr4 (-25%) on the chunked path.
     configs = [
-        ("TwoSphereCheckers", {}, 400, 225, 64, 8, False, None),
-        ("LightTest", {}, 512, 512, 256, 50, False, 8),
-        ("CornellBox", {}, 512, 512, 1024, 20, False, None),
-        ("ModelTest", {"obj_path": objp}, 512, 512, 256, 20, False, 4),
-        ("SphereField", {}, 1280, 720, 512, 20, True, None),
+        ("TwoSphereCheckers", {}, 400, 225, 64, 8, False, None, "chunked"),
+        ("LightTest", {}, 512, 512, 256, 50, False, None, "regen"),
+        ("CornellBox", {}, 512, 512, 1024, 20, False, None, "chunked"),
+        ("ModelTest", {"obj_path": objp}, 512, 512, 256, 20, False, 4,
+         "chunked"),
+        ("SphereField", {}, 1280, 720, 512, 20, True, None, "chunked"),
     ]
     key = jax.random.PRNGKey(0)
 
-    for name, kwargs, w, h, spp, bounces, rebuild, rr in configs:
+    for name, kwargs, w, h, spp, bounces, rebuild, rr, mode in configs:
         if args.scene and name not in args.scene:
             continue
         sd = get_scene(name, **kwargs)
@@ -66,7 +69,13 @@ def main():
         )
         scene = sd.build()
         cam = sd.camera_at(0.0)
-        render = render_radiance_regen if args.regen else render_radiance
+        use_regen = args.regen or mode == "regen"
+        if use_regen:
+            render = lambda *a, **k: render_radiance_regen(  # noqa: E731
+                *a, flush_every=2, **k
+            )
+        else:
+            render = render_radiance
 
         # compile warmup with the same chunk shape as the full run.
         # NOTE: block_until_ready is not reliable over the axon remote

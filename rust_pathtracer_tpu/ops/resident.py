@@ -253,8 +253,9 @@ def closest_hit_resident(tables: ProjTables, o, d, t_min, interpret=False,
             block_rows=block_rows, kcap=kcap_eff, interpret=interpret,
         )
 
-    if kcap_eff >= G:
+    if kcap_eff >= G and os.environ.get("RPT_RES_COND", "0") != "1":
         # overflow statically impossible: no dense branch to compile
+        # (RPT_RES_COND=1 forces the cond wrapper for perf bisection)
         t, c, pay = run_resident(None)
     else:
         def run_dense(_):
