@@ -253,10 +253,24 @@ def closest_hit_resident(tables: ProjTables, o, d, t_min, interpret=False,
             block_rows=block_rows, kcap=kcap_eff, interpret=interpret,
         )
 
-    if kcap_eff >= G and os.environ.get("RPT_RES_COND", "0") != "1":
-        # overflow statically impossible: no dense branch to compile
-        # (RPT_RES_COND=1 forces the cond wrapper for perf bisection)
-        t, c, pay = run_resident(None)
+    if kcap_eff >= G:
+        # overflow is statically impossible here (a block passes at
+        # most G clusters), but the lax.cond wrapper MUST stay: it is
+        # a compilation boundary that keeps the kernel + worklist
+        # build out of the surrounding trace body's XLA schedule.
+        # Calling run_resident inline was measured +86 ms/BOUNCE on
+        # the SphereField chunk (0.905 s -> 2.54 s for 20 bounces,
+        # bisected via RPT_RES_COND) with identical kernels.  The
+        # never-taken branch returns all-miss at negligible compile
+        # cost (the dense fallback kernel is not needed).
+        def run_miss(_):
+            return (
+                jnp.full((Rp,), T_MISS, jnp.float32),
+                jnp.full((Rp,), -1, jnp.int32),
+                jnp.zeros((Rp, PAY_W), jnp.float32),
+            )
+
+        t, c, pay = jax.lax.cond(overflow, run_miss, run_resident, None)
     else:
         def run_dense(_):
             return _closest_hit_projected(
