@@ -773,6 +773,16 @@ def use_worklist(tables: ProjTables) -> bool:
     return n_real >= 2
 
 
+def use_topk(tables: ProjTables) -> bool:
+    """Static routing to the v6 top-K entry-ordered kernel
+    (ops/topk.py): opt-in via RPT_V6=1 until its on-chip A/B lands.
+    Sweeps each ray's K nearest passing clusters + a provably-bounded
+    fixup — the per-ray volume bound with fast-primitive build."""
+    import os
+
+    return os.environ.get("RPT_V6", "0") == "1"
+
+
 def use_queue(tables: ProjTables) -> bool:
     """Static routing to the v5 pair-queue kernel (ops/queue.py):
     opt-in via RPT_V5=1 until its on-chip A/B lands.  Sweeps at the
@@ -811,7 +821,13 @@ def closest_hit_record_projected(scene, o, d, t_min, interpret=False):
     """
     from rust_pathtracer_tpu.ops.intersect import record_from_rows
 
-    if use_queue(scene.proj):
+    if use_topk(scene.proj):
+        from rust_pathtracer_tpu.ops.topk import closest_hit_topk
+
+        hit, t, pay, col = closest_hit_topk(
+            scene.proj, o, d, t_min, interpret, with_column=True
+        )
+    elif use_queue(scene.proj):
         from rust_pathtracer_tpu.ops.queue import closest_hit_queue
 
         hit, t, pay, col = closest_hit_queue(

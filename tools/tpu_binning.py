@@ -40,7 +40,9 @@ scene = sd.build()
 cam = sd.camera_at(0.0)
 bg = sd.output.image.background
 spp = max(1, (1 << 20) // (w * h))  # ~1M lanes in one chunk
-settings = RenderSettings(w, h, spp, nb, bg, spp_chunk=spp)
+rr = os.environ.get("RPT_RR")
+settings = RenderSettings(w, h, spp, nb, bg, spp_chunk=spp,
+                          russian_roulette_start=int(rr) if rr else None)
 print(f"backend={jax.default_backend()} bin={binflag} spp={spp} "
       f"cols={scene.proj.num_cols} col_block={scene.proj.col_block}",
       flush=True)
