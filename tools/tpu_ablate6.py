@@ -19,6 +19,7 @@ compcache.enable()
 scene_name = sys.argv[1] if len(sys.argv) > 1 else "SphereField"
 which = sys.argv[2] if len(sys.argv) > 2 else "v4"
 # route the trace calls to the same kernel
+os.environ["RPT_V6"] = "1" if which == "v6" else "0"
 os.environ["RPT_V5"] = "1" if which == "v5" else "0"
 os.environ["RPT_V4"] = "1" if which == "v4" else "0"
 os.environ["RPT_V3"] = "1" if which == "v3" else "0"
@@ -85,7 +86,10 @@ o_dif = jnp.asarray(rng.uniform(-span, span, (R, 3)) + [0, 1, 0], jnp.float32)
 d_dif = jnp.asarray(rng.normal(size=(R, 3)), jnp.float32)
 o_dead = jnp.full((R, 3), 3.0e33, jnp.float32)
 
+from rust_pathtracer_tpu.ops.topk import closest_hit_topk
+
 impl = {
+    "v6": closest_hit_topk,
     "v5": closest_hit_queue,
     "v4": closest_hit_resident,
     "v3": closest_hit_pairs,
