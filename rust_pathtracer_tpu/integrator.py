@@ -422,3 +422,47 @@ def trace(
         segments=state["segments"], bounces=bounces_done,
         occupancy=state["occupancy"],
     )
+
+
+def trace_resume(scene, o, d, thr, rad, alive, lane_keys, background,
+                 start_bounce, max_bounces: int,
+                 russian_roulette_start: Optional[int] = None):
+    """Resume the forward bounce loop from an explicit wavefront state.
+
+    Used by the cascade renderer (render.py): the wavefront is
+    compacted between bounce ranges, and this continues bounces
+    [start_bounce, max_bounces) on the compacted lanes.  Per-lane
+    radiance is unchanged by compaction — the RNG folds on
+    (lane_key, bounce index), both carried through.  Reordering is
+    off (the cascade sorts at stage boundaries instead).
+
+    Returns (state dict, bounces executed).
+    """
+    background = jnp.asarray(background, jnp.float32)
+    rr_start = (
+        max_bounces + 1
+        if russian_roulette_start is None
+        else russian_roulette_start
+    )
+    zero_scalar = jnp.sum(o[..., 0] * 0.0)
+    state = dict(
+        o=o, d=d, thr=thr, rad=rad, alive=alive,
+        segments=zero_scalar,
+        occupancy=zero_scalar + jnp.zeros((MAX_BOUNCE_STATS,), jnp.float32),
+    )
+
+    def cond(carry):
+        bounce, s = carry
+        return (bounce < max_bounces) & jnp.any(s["alive"])
+
+    def body(carry):
+        bounce, s = carry
+        return (
+            bounce + 1,
+            _bounce_step(scene, lane_keys, background, rr_start, s, bounce),
+        )
+
+    bounce_end, state = jax.lax.while_loop(
+        cond, body, (jnp.int32(start_bounce), state)
+    )
+    return state, bounce_end - jnp.int32(start_bounce)

@@ -45,6 +45,9 @@ class RenderSettings:
     russian_roulette_start: Optional[int] = None
     # use the reverse-differentiable scan loop (fixed trip count)
     differentiable: bool = False
+    # compact the wavefront after CASCADE_B1 bounces (estimator-exact;
+    # see _render_chunk_cascaded).  RPT_CASCADE=1 forces it on.
+    cascade: bool = False
 
     # Default wavefront sizing.  v5e HBM holds ~1M-lane bounce state
     # comfortably; XLA pads some (N, small) while-carry temps to
@@ -98,6 +101,34 @@ def trace_pixel_lanes(
     tile of the image.  Returns (sum_radiance (len(pix), 3), stats).
     """
     npix = pix.shape[0]
+    lkeys, o, d, in_range = _make_lanes(
+        cam, base_key, pix, sample_offset, width=width, height=height,
+        spp_chunk=spp_chunk, spp_total=spp_total,
+    )
+
+    rad, stats = trace(
+        scene,
+        o,
+        d,
+        lkeys,
+        background,
+        max_bounces=max_bounces,
+        russian_roulette_start=rr_start,
+        differentiable=differentiable,
+    )
+
+    # mask samples beyond spp_total (padded final chunk)
+    rad = rad * in_range.astype(jnp.float32)[:, None]
+    return rad.reshape(npix, spp_chunk, 3).sum(axis=1), stats
+
+
+def _make_lanes(cam, base_key, pix, sample_offset, *, width, height,
+                spp_chunk, spp_total):
+    """Camera lanes for len(pix)*spp_chunk (pixel, sample) items.
+
+    Returns (lane keys (R, 2), origins, directions, in_range (R,)
+    bool — False for the padded samples of the final chunk).
+    """
     col = (pix % width).astype(jnp.float32)
     row = pix // width
     y = (height - 1 - row).astype(jnp.float32)  # renderer.rs:16: reversed rows
@@ -125,23 +156,12 @@ def trace_pixel_lanes(
 
     lens_keys = sampling.bounce_keys(lkeys, 0, sampling.P_LENS)
     o, d = camera_rays(cam, u, v, lens_keys)
-
-    rad, stats = trace(
-        scene,
-        o,
-        d,
-        lkeys,
-        background,
-        max_bounces=max_bounces,
-        russian_roulette_start=rr_start,
-        differentiable=differentiable,
-    )
-
-    # mask samples beyond spp_total (padded final chunk)
-    sample_ids = (sample_offset + s_local)[None, :].astype(jnp.uint32)
-    w_mask = (sample_ids < spp_total).astype(jnp.float32).reshape(1, -1)
-    rad = rad.reshape(npix, spp_chunk, 3) * w_mask[..., None]
-    return rad.sum(axis=1), stats
+    sample_ids = jnp.broadcast_to(
+        (sample_offset + s_local)[None, :].astype(jnp.uint32),
+        (pix.shape[0], spp_chunk),
+    ).reshape(-1)
+    in_range = sample_ids < spp_total
+    return lkeys, o, d, in_range
 
 
 @partial(
@@ -185,6 +205,125 @@ def _render_chunk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Cascade renderer: compact the wavefront once occupancy collapses.
+#
+# The chunked while_loop pays every per-bounce cost at the FULL lane
+# count for all max_bounces iterations even when mean path depth is
+# ~3 (SphereField: 20 iterations at 0.92M lanes for 2.9 mean depth).
+# The cascade runs the first CASCADE_B1 bounces at full width, sorts
+# live lanes to the front (secondary key: cluster entry order, so the
+# projected kernels see coherent blocks), accumulates finished lanes'
+# radiance, and resumes the remaining bounces on a 1/2..1/32 slice
+# sized by the fetched live count.  Per-lane radiance is bitwise
+# UNCHANGED (RNG folds on carried lane keys + global bounce index);
+# only the f32 accumulation order into the image differs from the
+# plain chunked path.  Estimator-exact; opt-in via
+# RenderSettings.cascade or RPT_CASCADE=1.
+# ---------------------------------------------------------------------------
+
+CASCADE_B1 = 3
+_CASCADE_SHRINKS = (32, 16, 8, 4, 2, 1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp_chunk", "b1", "rr_start"),
+)
+def _cascade_stage1(scene, cam, base_key, sample_offset, background, *,
+                    width, height, spp_chunk, spp_total, b1, rr_start):
+    from rust_pathtracer_tpu.integrator import trace_resume
+
+    npix = width * height
+    pix = np.arange(npix, dtype=np.uint32)
+    lkeys, o, d, alive = _make_lanes(
+        cam, base_key, pix, sample_offset, width=width, height=height,
+        spp_chunk=spp_chunk, spp_total=spp_total,
+    )
+    R = o.shape[0]
+    pix_lane = jnp.repeat(
+        jnp.asarray(pix, jnp.int32), spp_chunk
+    )
+    thr = jnp.ones((R, 3), jnp.float32)
+    rad = jnp.zeros((R, 3), jnp.float32)
+    state, b_done = trace_resume(
+        scene, o, d, thr, rad, alive, lkeys, background, 0, b1,
+        russian_roulette_start=rr_start,
+    )
+    alive = state["alive"]
+    # finished lanes flush into the per-pixel accumulator now
+    dead_acc = jnp.zeros((npix, 3), jnp.float32).at[pix_lane].add(
+        jnp.where(alive[:, None], 0.0, state["rad"])
+    )
+    # live lanes to the front, cluster-entry-coherent within
+    if scene.proj is not None:
+        from rust_pathtracer_tpu.ops.projected import cluster_entry_key
+
+        ckey = cluster_entry_key(
+            scene.proj.cluster_bounds, state["o"], state["d"], 1e-3
+        )
+    else:
+        ckey = jnp.zeros((R,), jnp.int32)
+    skey = jnp.where(alive, ckey, np.int32(2 ** 30))
+    iota = jnp.arange(R, dtype=jnp.int32)
+    _, perm = jax.lax.sort((skey, iota), num_keys=1)
+    packed = dict(
+        o=state["o"][perm], d=state["d"][perm], thr=state["thr"][perm],
+        rad=jnp.where(alive[:, None], state["rad"], 0.0)[perm],
+        alive=alive[perm], lkeys=lkeys[perm], pix_lane=pix_lane[perm],
+    )
+    n_alive = jnp.sum(alive.astype(jnp.int32))
+    return (dead_acc, packed, n_alive, state["segments"], b_done,
+            state["occupancy"])
+
+
+@partial(jax.jit, static_argnames=("max_bounces", "b1", "rr_start"))
+def _cascade_stage2(scene, packed, background, acc0, *,
+                    max_bounces, b1, rr_start):
+    from rust_pathtracer_tpu.integrator import trace_resume
+
+    state, b_done = trace_resume(
+        scene, packed["o"], packed["d"], packed["thr"], packed["rad"],
+        packed["alive"], packed["lkeys"], background, b1, max_bounces,
+        russian_roulette_start=rr_start,
+    )
+    acc = acc0.at[packed["pix_lane"]].add(state["rad"])
+    return acc, state["segments"], b_done, state["occupancy"]
+
+
+def _render_chunk_cascaded(scene, cam, base_key, sample_offset, bg, *,
+                           width, height, spp_chunk, spp_total,
+                           max_bounces, rr_start):
+    """One spp chunk through the two-stage cascade; host picks the
+    stage-2 width from the fetched live count (one scalar sync)."""
+    b1 = min(CASCADE_B1, max_bounces)
+    dead_acc, packed, n_alive, segs1, b1_done, occ1 = _cascade_stage1(
+        scene, cam, base_key, sample_offset, bg,
+        width=width, height=height, spp_chunk=spp_chunk,
+        spp_total=spp_total, b1=b1, rr_start=rr_start,
+    )
+    if b1 >= max_bounces:
+        return dead_acc + jnp.zeros_like(dead_acc).at[
+            packed["pix_lane"]].add(packed["rad"]), TraceStats(
+            segments=segs1, bounces=b1_done, occupancy=occ1)
+    n = int(n_alive)  # host sync: sizes the compacted continuation
+    R = packed["o"].shape[0]
+    S = R
+    for f in _CASCADE_SHRINKS:
+        if R // f >= max(n, 128) and (R // f) * f == R:
+            S = R // f
+            break
+    sliced = {k: v[:S] for k, v in packed.items()}
+    acc, segs2, b2_done, occ2 = _cascade_stage2(
+        scene, sliced, bg, dead_acc,
+        max_bounces=max_bounces, b1=b1, rr_start=rr_start,
+    )
+    return acc, TraceStats(
+        segments=segs1 + segs2, bounces=b1_done + b2_done,
+        occupancy=occ1 + occ2,
+    )
+
+
 def render_radiance(
     scene,
     cam: Camera,
@@ -202,11 +341,33 @@ def render_radiance(
         settings.background if background is None else background, jnp.float32
     )
 
+    import os
+
+    cascade = (
+        settings.cascade or os.environ.get("RPT_CASCADE", "0") == "1"
+    ) and not settings.differentiable
+
     acc = jnp.zeros((settings.width * settings.height, 3), jnp.float32)
     total_segments = jnp.float32(0.0)
     total_bounces = jnp.int32(0)
     total_occ = None
     for s0 in range(0, spp, chunk):
+        if cascade:
+            part, stats = _render_chunk_cascaded(
+                scene, cam, key, jnp.uint32(s0), bg,
+                width=settings.width, height=settings.height,
+                spp_chunk=chunk, spp_total=spp,
+                max_bounces=settings.max_bounces,
+                rr_start=settings.russian_roulette_start,
+            )
+            acc = acc + part
+            total_segments = total_segments + stats.segments
+            total_bounces = total_bounces + stats.bounces
+            total_occ = (
+                stats.occupancy if total_occ is None
+                else total_occ + stats.occupancy
+            )
+            continue
         part, stats = _render_chunk(
             scene,
             cam,

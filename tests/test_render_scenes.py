@@ -95,3 +95,28 @@ def test_quantization_saturating_cast():
 def test_to_rgb8_gamma():
     lin = np.full((1, 1, 3), 0.25)
     assert (to_rgb8(lin) == int(0.5 * 255.999)).all()  # sqrt(0.25)=0.5
+
+
+def test_cascade_matches_chunked():
+    """The cascade renderer (compaction between bounce ranges) traces
+    the identical per-lane paths: segment count exact, image equal up
+    to f32 accumulation order (render.py _render_chunk_cascaded)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from rust_pathtracer_tpu.models import get_scene
+    from rust_pathtracer_tpu.render import RenderSettings, render_radiance
+
+    sd = get_scene("CornellBox")
+    scene = sd.build()
+    cam = sd.camera_at(0.0)
+    s = RenderSettings(48, 48, 8, 12, sd.output.image.background, spp_chunk=4)
+    img, st = render_radiance(scene, cam, s, jax.random.PRNGKey(3))
+    s2 = dataclasses.replace(s, cascade=True)
+    img2, st2 = render_radiance(scene, cam, s2, jax.random.PRNGKey(3))
+    assert float(st.segments) == float(st2.segments)
+    np.testing.assert_allclose(
+        np.asarray(img), np.asarray(img2), atol=2e-6, rtol=1e-5
+    )
