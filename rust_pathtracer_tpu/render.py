@@ -228,12 +228,11 @@ _CASCADE_SHRINKS = (32, 16, 8, 4, 2, 1)
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "spp_chunk", "b1", "rr_start"),
+    static_argnames=("width", "height", "spp_chunk"),
 )
-def _cascade_stage1(scene, cam, base_key, sample_offset, background, *,
-                    width, height, spp_chunk, spp_total, b1, rr_start):
-    from rust_pathtracer_tpu.integrator import trace_resume
-
+def _cascade_spawn(scene, cam, base_key, sample_offset, *,
+                   width, height, spp_chunk, spp_total):
+    """Camera lanes in the packed cascade-state layout."""
     npix = width * height
     pix = np.arange(npix, dtype=np.uint32)
     lkeys, o, d, alive = _make_lanes(
@@ -241,21 +240,40 @@ def _cascade_stage1(scene, cam, base_key, sample_offset, background, *,
         spp_chunk=spp_chunk, spp_total=spp_total,
     )
     R = o.shape[0]
-    pix_lane = jnp.repeat(
-        jnp.asarray(pix, jnp.int32), spp_chunk
+    return dict(
+        o=o, d=d,
+        thr=jnp.ones((R, 3), jnp.float32),
+        rad=jnp.zeros((R, 3), jnp.float32),
+        alive=alive, lkeys=lkeys,
+        pix_lane=jnp.repeat(jnp.asarray(pix, jnp.int32), spp_chunk),
     )
-    thr = jnp.ones((R, 3), jnp.float32)
-    rad = jnp.zeros((R, 3), jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("b0", "b1", "rr_start", "final", "npix"))
+def _cascade_stage(scene, packed, background, acc, *, b0, b1, rr_start,
+                   final, npix):
+    """Bounces [b0, b1) on the packed lanes.
+
+    final=True: every lane's radiance flushes into ``acc``.  Else:
+    finished lanes flush, live lanes sort to the front (secondary key
+    cluster entry order so the projected kernels see coherent blocks)
+    and the packed state + live count come back for slicing.
+    """
+    from rust_pathtracer_tpu.integrator import trace_resume
+
     state, b_done = trace_resume(
-        scene, o, d, thr, rad, alive, lkeys, background, 0, b1,
+        scene, packed["o"], packed["d"], packed["thr"], packed["rad"],
+        packed["alive"], packed["lkeys"], background, b0, b1,
         russian_roulette_start=rr_start,
     )
+    if final:
+        acc = acc.at[packed["pix_lane"]].add(state["rad"])
+        return acc, state["segments"], b_done, state["occupancy"]
     alive = state["alive"]
-    # finished lanes flush into the per-pixel accumulator now
-    dead_acc = jnp.zeros((npix, 3), jnp.float32).at[pix_lane].add(
+    acc = acc.at[packed["pix_lane"]].add(
         jnp.where(alive[:, None], 0.0, state["rad"])
     )
-    # live lanes to the front, cluster-entry-coherent within
+    R = alive.shape[0]
     if scene.proj is not None:
         from rust_pathtracer_tpu.ops.projected import cluster_entry_key
 
@@ -267,61 +285,69 @@ def _cascade_stage1(scene, cam, base_key, sample_offset, background, *,
     skey = jnp.where(alive, ckey, np.int32(2 ** 30))
     iota = jnp.arange(R, dtype=jnp.int32)
     _, perm = jax.lax.sort((skey, iota), num_keys=1)
-    packed = dict(
+    out = dict(
         o=state["o"][perm], d=state["d"][perm], thr=state["thr"][perm],
         rad=jnp.where(alive[:, None], state["rad"], 0.0)[perm],
-        alive=alive[perm], lkeys=lkeys[perm], pix_lane=pix_lane[perm],
+        alive=alive[perm], lkeys=packed["lkeys"][perm],
+        pix_lane=packed["pix_lane"][perm],
     )
     n_alive = jnp.sum(alive.astype(jnp.int32))
-    return (dead_acc, packed, n_alive, state["segments"], b_done,
-            state["occupancy"])
+    return acc, out, n_alive, state["segments"], b_done, state["occupancy"]
 
 
-@partial(jax.jit, static_argnames=("max_bounces", "b1", "rr_start"))
-def _cascade_stage2(scene, packed, background, acc0, *,
-                    max_bounces, b1, rr_start):
-    from rust_pathtracer_tpu.integrator import trace_resume
+def _cascade_boundaries(max_bounces):
+    import os
 
-    state, b_done = trace_resume(
-        scene, packed["o"], packed["d"], packed["thr"], packed["rad"],
-        packed["alive"], packed["lkeys"], background, b1, max_bounces,
-        russian_roulette_start=rr_start,
-    )
-    acc = acc0.at[packed["pix_lane"]].add(state["rad"])
-    return acc, state["segments"], b_done, state["occupancy"]
+    raw = os.environ.get("RPT_CASCADE_B1")
+    if raw:
+        bs = [int(x) for x in raw.split(",")]
+    else:
+        bs = [CASCADE_B1]
+    return [b for b in sorted(set(bs)) if 0 < b < max_bounces]
 
 
 def _render_chunk_cascaded(scene, cam, base_key, sample_offset, bg, *,
                            width, height, spp_chunk, spp_total,
                            max_bounces, rr_start):
-    """One spp chunk through the two-stage cascade; host picks the
-    stage-2 width from the fetched live count (one scalar sync)."""
-    b1 = min(CASCADE_B1, max_bounces)
-    dead_acc, packed, n_alive, segs1, b1_done, occ1 = _cascade_stage1(
-        scene, cam, base_key, sample_offset, bg,
+    """One spp chunk through the staged cascade; the host sizes each
+    continuation from the fetched live count (one scalar sync per
+    boundary).  RPT_CASCADE_B1 sets the boundaries (comma-separated,
+    e.g. "2,5")."""
+    npix = width * height
+    packed = _cascade_spawn(
+        scene, cam, base_key, sample_offset,
         width=width, height=height, spp_chunk=spp_chunk,
-        spp_total=spp_total, b1=b1, rr_start=rr_start,
+        spp_total=spp_total,
     )
-    if b1 >= max_bounces:
-        return dead_acc + jnp.zeros_like(dead_acc).at[
-            packed["pix_lane"]].add(packed["rad"]), TraceStats(
-            segments=segs1, bounces=b1_done, occupancy=occ1)
-    n = int(n_alive)  # host sync: sizes the compacted continuation
-    R = packed["o"].shape[0]
-    S = R
-    for f in _CASCADE_SHRINKS:
-        if R // f >= max(n, 128) and (R // f) * f == R:
-            S = R // f
-            break
-    sliced = {k: v[:S] for k, v in packed.items()}
-    acc, segs2, b2_done, occ2 = _cascade_stage2(
-        scene, sliced, bg, dead_acc,
-        max_bounces=max_bounces, b1=b1, rr_start=rr_start,
+    acc = jnp.zeros((npix, 3), jnp.float32)
+    boundaries = _cascade_boundaries(max_bounces)
+    segs = jnp.float32(0.0)
+    bounces = jnp.int32(0)
+    occ = None
+    b0 = 0
+    for b1 in boundaries:
+        acc, packed, n_alive, s1, bd, oc = _cascade_stage(
+            scene, packed, bg, acc, b0=b0, b1=b1, rr_start=rr_start,
+            final=False, npix=npix,
+        )
+        segs, bounces = segs + s1, bounces + bd
+        occ = oc if occ is None else occ + oc
+        n = int(n_alive)  # host sync: sizes the compacted continuation
+        R = packed["o"].shape[0]
+        S = R
+        for f in _CASCADE_SHRINKS:
+            if R // f >= max(n, 128) and (R // f) * f == R:
+                S = R // f
+                break
+        packed = {k: v[:S] for k, v in packed.items()}
+        b0 = b1
+    acc, s1, bd, oc = _cascade_stage(
+        scene, packed, bg, acc, b0=b0, b1=max_bounces, rr_start=rr_start,
+        final=True, npix=npix,
     )
-    return acc, TraceStats(
-        segments=segs1 + segs2, bounces=b1_done + b2_done,
-        occupancy=occ1 + occ2,
-    )
+    segs, bounces = segs + s1, bounces + bd
+    occ = oc if occ is None else occ + oc
+    return acc, TraceStats(segments=segs, bounces=bounces, occupancy=occ)
 
 
 def render_radiance(
