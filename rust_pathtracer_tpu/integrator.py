@@ -254,7 +254,27 @@ def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
     hit_mask, rec, shade_row, cluster = search_and_record(
         scene, o, d, alive, differentiable
     )
+    if differentiable:
+        # tag the hit record for the "mid" remat policy (see trace):
+        # saving these lets the backward replay skip the whole
+        # re-derived t chain (gather_prim_rows + prim_intersect_t)
+        from jax.ad_checkpoint import checkpoint_name as _cn
+
+        rec = rec._replace(
+            point=_cn(rec.point, "rec_point"),
+            normal=_cn(rec.normal, "rec_normal"),
+            front_face=_cn(rec.front_face, "rec_front"),
+            u=_cn(rec.u, "rec_u"),
+            v=_cn(rec.v, "rec_v"),
+        )
     si = shade_inputs(scene, rec, shade_row)
+    if differentiable:
+        si = si._replace(
+            kind=_cn(si.kind, "shade_kind"),
+            fuzz=_cn(si.fuzz, "shade_fuzz"),
+            ir=_cn(si.ir, "shade_ir"),
+            value=_cn(si.value, "shade_value"),
+        )
 
     # miss -> background, weighted by throughput (ray.rs:40)
     miss = alive & ~hit_mask
@@ -274,7 +294,17 @@ def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
     coin = sg(sampling.uniform(
         sampling.bounce_keys(lane_keys, bounce, sampling.P_SCHLICK)
     ))
+    if differentiable:
+        sphere_dir = _cn(sphere_dir, "rng_sphere")
+        ball_dir = _cn(ball_dir, "rng_ball")
+        coin = _cn(coin, "rng_coin")
     sc = scatter(scene, rec, d, sphere_dir, ball_dir, coin, si)
+    if differentiable:
+        sc = sc._replace(
+            did_scatter=_cn(sc.did_scatter, "scatter_did"),
+            direction=_cn(sc.direction, "scatter_dir"),
+            attenuation=_cn(sc.attenuation, "scatter_att"),
+        )
 
     cont = hit_mask & sc.did_scatter
     thr = jnp.where(cont[..., None], thr * sc.attenuation, thr)
@@ -305,6 +335,97 @@ def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
         out["cluster"] = jnp.where(hit_mask, cluster, 0)
         out["lkeys"] = lane_keys
     return out
+
+
+def _diff_cascade_stages(max_bounces, n_lanes):
+    """Parse RPT_DIFF_CASCADE="8:2,14:4" into [(boundary, shrink), ...].
+
+    The static-width differentiable cascade: at each ``boundary`` the
+    scan narrows to ``n_lanes/shrink`` lanes (live lanes sorted to the
+    front).  Widths are STATIC — chosen from the scene's occupancy
+    curve with margin (CornellBox 512^2: 31% alive at bounce 8, 16% at
+    14 -> "8:2,14:4" has ~1.6x headroom) — so reverse-mode AD sees a
+    fixed-shape graph: no lax.cond, no host sync.  If a live lane ever
+    falls past the slice (occupancy above the static budget) it is
+    DROPPED; the count of dropped-live lanes is recorded in occupancy
+    slot MAX_BOUNCE_STATS-1 and MUST be asserted zero by the caller
+    (bench.py / tests do).  Opt-in via env; off by default.
+    """
+    import os
+
+    raw = os.environ.get("RPT_DIFF_CASCADE")
+    if not raw:
+        return []
+    stages = []
+    prev_b, prev_s = 0, 1
+    for part in raw.split(","):
+        b_str, s_str = part.split(":")
+        b, s = int(b_str), int(s_str)
+        if not (prev_b < b < max_bounces and s > prev_s and n_lanes % s == 0):
+            return []  # malformed/inapplicable: fall back to plain scan
+        stages.append((b, s))
+        prev_b, prev_s = b, s
+    return stages
+
+
+def _trace_diff_cascade(init, lane_keys, make_step, stages, max_bounces):
+    """Fixed-length scans between static compaction boundaries.
+
+    Per-lane radiance is estimator-identical to the plain scan (each
+    lane carries its RNG key and global bounce index); only the f32
+    order in which a lane's per-stage partial sums combine differs.
+    Returns {rad (full width, caller order), segments, occupancy}
+    with the dropped-live-lane count in occupancy[-1] (see
+    _diff_cascade_stages).
+    """
+    R = init["o"].shape[0]
+    banked = jnp.zeros((R, 3), jnp.float32)
+    lane = jnp.arange(R, dtype=jnp.int32)
+    state = dict(init)
+    lk = lane_keys
+    segments = jnp.float32(0.0)
+    occupancy = jnp.zeros((MAX_BOUNCE_STATS,), jnp.float32)
+    overflow = jnp.float32(0.0)
+    b0 = 0
+    for b1, shrink in list(stages) + [(max_bounces, None)]:
+        step = make_step(lk)
+        state, _ = jax.lax.scan(
+            lambda s, b: (step(s, b), None),
+            state, jnp.arange(b0, b1, dtype=jnp.int32),
+        )
+        segments = segments + state["segments"]
+        occupancy = occupancy + state["occupancy"]
+        banked = banked.at[lane].add(state["rad"])
+        if shrink is None:
+            break
+        alive = state["alive"]
+        S = R // shrink
+        iota = jnp.arange(alive.shape[0], dtype=jnp.int32)
+        perm = jax.lax.stop_gradient(
+            jax.lax.sort(((~alive).astype(jnp.int32), iota), num_keys=1,
+                         is_stable=True)[1]
+        )
+        overflow = overflow + jnp.sum(
+            alive[perm][S:].astype(jnp.float32)
+        )
+        zeros3 = state["o"][perm][:S] * 0.0
+        zero_scalar = jnp.sum(zeros3[..., 0])
+        state = dict(
+            o=state["o"][perm][:S],
+            d=state["d"][perm][:S],
+            thr=state["thr"][perm][:S],
+            rad=zeros3,
+            alive=alive[perm][:S],
+            segments=zero_scalar,
+            occupancy=zero_scalar + jnp.zeros(
+                (MAX_BOUNCE_STATS,), jnp.float32
+            ),
+        )
+        lane = lane[perm][:S]
+        lk = lk[perm][:S]
+        b0 = b1
+    occupancy = occupancy.at[MAX_BOUNCE_STATS - 1].add(overflow)
+    return dict(rad=banked, segments=segments, occupancy=occupancy)
 
 
 def trace(
@@ -366,37 +487,55 @@ def trace(
         mode = os.environ.get("RPT_REMAT", "auto")
         if mode == "auto":
             lane_bounces = origins.shape[0] * max_bounces
-            mode = "none" if lane_bounces <= 24_000_000 else "names"
-        if mode == "none":
-            step = lambda state, bounce: _bounce_step(  # noqa: E731
-                scene, lane_keys, background, rr_start, state, bounce,
-                differentiable=True,
-            )
-        else:
-            step = jax.checkpoint(
+            mode = "none" if lane_bounces <= 24_000_000 else "mid"
+        def make_step(lk):
+            if mode == "none":
+                return lambda state, bounce: _bounce_step(
+                    scene, lk, background, rr_start, state, bounce,
+                    differentiable=True,
+                )
+            # "mid": save the bounce's *interface* values (hit record,
+            # shade inputs, RNG draws, scatter outputs) so the backward
+            # replay recomputes only cheap fusable elementwise updates —
+            # not the detached search, not the t chain, not the RNG
+            # bit-mixing.  "names": save only the discrete search ids
+            # (minimum storage, replay re-runs all shading).
+            names = ("hit_mask", "hit_idx")
+            if mode == "mid":
+                names = names + (
+                    "rec_point", "rec_normal", "rec_front", "rec_u",
+                    "rec_v", "shade_kind", "shade_fuzz", "shade_ir",
+                    "shade_value", "rng_sphere", "rng_ball", "rng_coin",
+                    "scatter_did", "scatter_dir", "scatter_att",
+                )
+            return jax.checkpoint(
                 lambda state, bounce: _bounce_step(
-                    scene, lane_keys, background, rr_start, state, bounce,
+                    scene, lk, background, rr_start, state, bounce,
                     differentiable=True,
                 ),
-                policy=jax.checkpoint_policies.save_only_these_names(
-                    "hit_mask", "hit_idx"
-                ),
+                policy=jax.checkpoint_policies.save_only_these_names(*names),
             )
 
-        def scan_body(state, bounce):
-            # NOTE: wrapping the body in lax.cond(any(alive)) to skip
-            # all-dead tail bounces (recovering the while_loop's early
-            # exit) is bitwise-identical but was measured 2.6x SLOWER
-            # fwd+bwd on v5e (261.8 ms vs 100.9 ms, CornellBox 1M
-            # lanes): the conditional is a fusion barrier in both the
-            # forward and the transposed scan, and the state copies it
-            # forces outweigh the skipped compute.  Keep the plain
-            # fixed-length body (DESIGN.md §10).
-            return step(state, bounce), None
-
-        state, _ = jax.lax.scan(
-            scan_body, init, jnp.arange(max_bounces, dtype=jnp.int32)
-        )
+        # NOTE: wrapping the scan body in lax.cond(any(alive)) to skip
+        # all-dead tail bounces (recovering the while_loop's early
+        # exit) is bitwise-identical but was measured 2.6x SLOWER
+        # fwd+bwd on v5e (261.8 ms vs 100.9 ms, CornellBox 1M
+        # lanes): the conditional is a fusion barrier in both the
+        # forward and the transposed scan, and the state copies it
+        # forces outweigh the skipped compute.  Keep plain fixed-length
+        # bodies (DESIGN.md §10); the static-width diff cascade below
+        # recovers the occupancy win without any conditional.
+        stages = _diff_cascade_stages(max_bounces, origins.shape[0])
+        if stages:
+            state = _trace_diff_cascade(
+                init, lane_keys, make_step, stages, max_bounces
+            )
+        else:
+            step = make_step(lane_keys)
+            state, _ = jax.lax.scan(
+                lambda s, b: (step(s, b), None),
+                init, jnp.arange(max_bounces, dtype=jnp.int32),
+            )
         bounces_done = jnp.int32(max_bounces)
     else:
         def cond(carry):

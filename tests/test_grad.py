@@ -251,3 +251,50 @@ def test_diff_search_kernel_matches_jnp(monkeypatch):
     fb, _ = jax.flatten_util.ravel_pytree(g_k)
     np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_remat_policies_bitwise_identical(monkeypatch):
+    """RPT_REMAT none/mid/names trade residual storage for replay
+    recompute (integrator.py trace); jax.checkpoint guarantees the
+    values and gradients are unchanged — assert bitwise equality so a
+    policy edit can never drift the estimator or its gradients."""
+    params, scene, settings, target = _setup(spp=4, bounces=6)
+    outs = {}
+    for mode in ("none", "mid", "names"):
+        monkeypatch.setenv("RPT_REMAT", mode)
+        loss, grads = render_loss_and_grad(params, scene, settings, KEY, target)
+        flat, _ = jax.flatten_util.ravel_pytree(grads)
+        outs[mode] = (float(loss), np.asarray(flat))
+    for mode in ("mid", "names"):
+        assert outs[mode][0] == outs["none"][0]
+        np.testing.assert_array_equal(outs[mode][1], outs["none"][1])
+
+
+def test_diff_cascade_matches_plain_scan(monkeypatch):
+    """RPT_DIFF_CASCADE (static-width compaction inside the diff scan,
+    integrator.py _trace_diff_cascade) must reproduce the plain
+    fixed-length scan: same loss, same gradients, same segment count,
+    zero dropped-live lanes (occupancy[-1])."""
+    params, scene, settings, target = _setup(width=16, height=16, spp=4,
+                                             bounces=12)
+
+    def run():
+        loss, grads = render_loss_and_grad(params, scene, settings, KEY,
+                                           target)
+        flat, _ = jax.flatten_util.ravel_pytree(grads)
+        return float(loss), np.asarray(flat)
+
+    monkeypatch.delenv("RPT_DIFF_CASCADE", raising=False)
+    loss0, g0 = run()
+    monkeypatch.setenv("RPT_DIFF_CASCADE", "4:2,8:4")
+    loss1, g1 = run()
+    np.testing.assert_allclose(loss1, loss0, rtol=1e-6)
+    np.testing.assert_allclose(g1, g0, rtol=1e-5, atol=1e-7)
+
+    from rust_pathtracer_tpu.render import render_radiance
+    from rust_pathtracer_tpu.grad import apply_params
+
+    s = apply_params(scene, params)
+    img, stats = render_radiance(s, params.camera.build(), settings, KEY,
+                                 background=params.background)
+    assert float(stats.occupancy[-1]) == 0.0  # no live lane dropped

@@ -39,7 +39,9 @@ sd = get_scene(name, **kw)
 scene = sd.build()
 cam = sd.camera_at(0.0)
 bg = sd.output.image.background
+nb = int(os.environ.get("RPT_NB", nb))  # cost decomposition probes
 spp = max(1, (1 << 20) // (w * h))  # ~1M lanes in one chunk
+spp = int(os.environ.get("RPT_SPPCHUNK", spp))  # chunk-size probes
 rr = os.environ.get("RPT_RR")
 settings = RenderSettings(w, h, spp, nb, bg, spp_chunk=spp,
                           russian_roulette_start=int(rr) if rr else None)
