@@ -232,7 +232,9 @@ _CASCADE_SHRINKS = (32, 16, 8, 4, 2, 1)
 )
 def _cascade_spawn(scene, cam, base_key, sample_offset, *,
                    width, height, spp_chunk, spp_total):
-    """Camera lanes in the packed cascade-state layout."""
+    """Camera lanes in the packed cascade-state layout, plus the
+    full-width ``banked`` radiance / ``lane`` caller-index arrays that
+    ride every subsequent reordering (see _cascade_stage)."""
     npix = width * height
     pix = np.arange(npix, dtype=np.uint32)
     lkeys, o, d, alive = _make_lanes(
@@ -240,24 +242,34 @@ def _cascade_spawn(scene, cam, base_key, sample_offset, *,
         spp_chunk=spp_chunk, spp_total=spp_total,
     )
     R = o.shape[0]
-    return dict(
+    packed = dict(
         o=o, d=d,
         thr=jnp.ones((R, 3), jnp.float32),
         rad=jnp.zeros((R, 3), jnp.float32),
         alive=alive, lkeys=lkeys,
-        pix_lane=jnp.repeat(jnp.asarray(pix, jnp.int32), spp_chunk),
     )
+    banked = jnp.zeros((R, 3), jnp.float32)
+    lane = jnp.arange(R, dtype=jnp.int32)
+    return packed, banked, lane
 
 
-@partial(jax.jit, static_argnames=("b0", "b1", "rr_start", "final", "npix"))
-def _cascade_stage(scene, packed, background, acc, *, b0, b1, rr_start,
-                   final, npix):
-    """Bounces [b0, b1) on the packed lanes.
+@partial(jax.jit, static_argnames=("b0", "b1", "rr_start", "final",
+                                   "spp_chunk"))
+def _cascade_stage(scene, packed, background, banked, lane, *, b0, b1,
+                   rr_start, final, spp_chunk):
+    """Bounces [b0, b1) on the packed lanes (width W <= full R).
 
-    final=True: every lane's radiance flushes into ``acc``.  Else:
-    finished lanes flush, live lanes sort to the front (secondary key
-    cluster entry order so the projected kernels see coherent blocks)
-    and the packed state + live count come back for slicing.
+    ``banked`` (R, 3) and ``lane`` (R,) ride the wavefront ordering:
+    slot i holds the radiance banked so far by / the caller index of
+    the lane that currently (or last, if sliced away) occupied
+    position i.  Finished lanes flush DENSELY into banked[:W]; a
+    boundary sorts live lanes to the front (secondary key: cluster
+    entry order, so the projected kernels see coherent blocks) and
+    permutes banked/lane alongside.  The final stage unscrambles with
+    ONE key/value sort + reshape-sum.  There is no scatter at any
+    width: XLA scatter at 1M lanes costs 78 ms on v5e vs 5.3 ms for
+    the sort unscramble + 3.7 ms dense flush (tools/tpu_scatter.py) —
+    the scatters were ~60% of the whole SphereField cascade chunk.
     """
     from rust_pathtracer_tpu.integrator import trace_resume
 
@@ -266,14 +278,21 @@ def _cascade_stage(scene, packed, background, acc, *, b0, b1, rr_start,
         packed["alive"], packed["lkeys"], background, b0, b1,
         russian_roulette_start=rr_start,
     )
+    W = packed["o"].shape[0]
     if final:
-        acc = acc.at[packed["pix_lane"]].add(state["rad"])
+        banked = banked.at[:W].add(state["rad"])
+        _, r0, r1, r2 = jax.lax.sort(
+            (lane, banked[:, 0], banked[:, 1], banked[:, 2]), num_keys=1
+        )
+        R = banked.shape[0]
+        acc = jnp.stack([r0, r1, r2], axis=1).reshape(
+            R // spp_chunk, spp_chunk, 3
+        ).sum(axis=1)
         return acc, state["segments"], b_done, state["occupancy"]
     alive = state["alive"]
-    acc = acc.at[packed["pix_lane"]].add(
+    banked = banked.at[:W].add(
         jnp.where(alive[:, None], 0.0, state["rad"])
     )
-    R = alive.shape[0]
     if scene.proj is not None:
         from rust_pathtracer_tpu.ops.projected import cluster_entry_key
 
@@ -281,18 +300,20 @@ def _cascade_stage(scene, packed, background, acc, *, b0, b1, rr_start,
             scene.proj.cluster_bounds, state["o"], state["d"], 1e-3
         )
     else:
-        ckey = jnp.zeros((R,), jnp.int32)
+        ckey = jnp.zeros((W,), jnp.int32)
     skey = jnp.where(alive, ckey, np.int32(2 ** 30))
-    iota = jnp.arange(R, dtype=jnp.int32)
+    iota = jnp.arange(W, dtype=jnp.int32)
     _, perm = jax.lax.sort((skey, iota), num_keys=1)
     out = dict(
         o=state["o"][perm], d=state["d"][perm], thr=state["thr"][perm],
         rad=jnp.where(alive[:, None], state["rad"], 0.0)[perm],
         alive=alive[perm], lkeys=packed["lkeys"][perm],
-        pix_lane=packed["pix_lane"][perm],
     )
+    banked = banked.at[:W].set(banked[:W][perm])
+    lane = lane.at[:W].set(lane[:W][perm])
     n_alive = jnp.sum(alive.astype(jnp.int32))
-    return acc, out, n_alive, state["segments"], b_done, state["occupancy"]
+    return (out, banked, lane, n_alive, state["segments"], b_done,
+            state["occupancy"])
 
 
 def _cascade_boundaries(max_bounces):
@@ -313,22 +334,20 @@ def _render_chunk_cascaded(scene, cam, base_key, sample_offset, bg, *,
     continuation from the fetched live count (one scalar sync per
     boundary).  RPT_CASCADE_B1 sets the boundaries (comma-separated,
     e.g. "2,5")."""
-    npix = width * height
-    packed = _cascade_spawn(
+    packed, banked, lane = _cascade_spawn(
         scene, cam, base_key, sample_offset,
         width=width, height=height, spp_chunk=spp_chunk,
         spp_total=spp_total,
     )
-    acc = jnp.zeros((npix, 3), jnp.float32)
     boundaries = _cascade_boundaries(max_bounces)
     segs = jnp.float32(0.0)
     bounces = jnp.int32(0)
     occ = None
     b0 = 0
     for b1 in boundaries:
-        acc, packed, n_alive, s1, bd, oc = _cascade_stage(
-            scene, packed, bg, acc, b0=b0, b1=b1, rr_start=rr_start,
-            final=False, npix=npix,
+        packed, banked, lane, n_alive, s1, bd, oc = _cascade_stage(
+            scene, packed, bg, banked, lane, b0=b0, b1=b1,
+            rr_start=rr_start, final=False, spp_chunk=spp_chunk,
         )
         segs, bounces = segs + s1, bounces + bd
         occ = oc if occ is None else occ + oc
@@ -342,8 +361,8 @@ def _render_chunk_cascaded(scene, cam, base_key, sample_offset, bg, *,
         packed = {k: v[:S] for k, v in packed.items()}
         b0 = b1
     acc, s1, bd, oc = _cascade_stage(
-        scene, packed, bg, acc, b0=b0, b1=max_bounces, rr_start=rr_start,
-        final=True, npix=npix,
+        scene, packed, bg, banked, lane, b0=b0, b1=max_bounces,
+        rr_start=rr_start, final=True, spp_chunk=spp_chunk,
     )
     segs, bounces = segs + s1, bounces + bd
     occ = oc if occ is None else occ + oc
