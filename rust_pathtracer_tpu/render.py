@@ -48,6 +48,15 @@ class RenderSettings:
     # compact the wavefront after CASCADE_B1 bounces (estimator-exact;
     # see _render_chunk_cascaded).  RPT_CASCADE=1 forces it on.
     cascade: bool = False
+    # static cascade schedule "boundary:shrink,..." (e.g. "5:8"): the
+    # compacted width is fixed at R/shrink so NO mid-chunk host sync
+    # happens (the int(n_alive) fetch + re-dispatch costs ~100 ms per
+    # boundary over the remote TPU tunnel).  Live lanes that would
+    # fall past a slice are counted in TraceStats.occupancy[-1] and
+    # MUST be zero for the result to be unbiased — pick shrinks with
+    # >=2x occupancy margin; bench tools assert it.  RPT_CASCADE_STATIC
+    # overrides.
+    cascade_schedule: Optional[str] = None
 
     # Default wavefront sizing.  v5e HBM holds ~1M-lane bounce state
     # comfortably; XLA pads some (N, small) while-carry temps to
@@ -327,22 +336,62 @@ def _cascade_boundaries(max_bounces):
     return [b for b in sorted(set(bs)) if 0 < b < max_bounces]
 
 
+def _cascade_static_schedule(max_bounces, n_lanes, settings_schedule=None):
+    """Parse "5:8,9:16" -> [(boundary, static width)] (see
+    RenderSettings.cascade_schedule).  Returns [] when unset or
+    inapplicable (falls back to the dynamic host-synced cascade)."""
+    import os
+
+    raw = os.environ.get("RPT_CASCADE_STATIC") or settings_schedule
+    if not raw:
+        return []
+    out = []
+    prev_b, prev_w = 0, n_lanes + 1
+    for part in raw.split(","):
+        b_str, s_str = part.split(":")
+        b, shrink = int(b_str), int(s_str)
+        if not (prev_b < b < max_bounces and shrink > 0
+                and n_lanes % shrink == 0):
+            return []
+        w = n_lanes // shrink
+        if not w < prev_w:
+            return []
+        out.append((b, w))
+        prev_b, prev_w = b, w
+    return out
+
+
 def _render_chunk_cascaded(scene, cam, base_key, sample_offset, bg, *,
                            width, height, spp_chunk, spp_total,
-                           max_bounces, rr_start):
-    """One spp chunk through the staged cascade; the host sizes each
-    continuation from the fetched live count (one scalar sync per
-    boundary).  RPT_CASCADE_B1 sets the boundaries (comma-separated,
-    e.g. "2,5")."""
+                           max_bounces, rr_start, schedule=None):
+    """One spp chunk through the staged cascade.
+
+    Dynamic mode (default): the host sizes each continuation from the
+    fetched live count — one scalar sync per boundary (~100 ms over
+    the remote tunnel).  RPT_CASCADE_B1 sets the boundaries
+    (comma-separated, e.g. "2,5").
+
+    Static mode (``schedule``/RPT_CASCADE_STATIC "5:8,..."): widths
+    are fixed, no sync at all; live lanes that would fall past a
+    slice are counted into occupancy[-1] (must be zero — see
+    RenderSettings.cascade_schedule)."""
     packed, banked, lane = _cascade_spawn(
         scene, cam, base_key, sample_offset,
         width=width, height=height, spp_chunk=spp_chunk,
         spp_total=spp_total,
     )
-    boundaries = _cascade_boundaries(max_bounces)
+    R_full = packed["o"].shape[0]
+    static_stages = _cascade_static_schedule(max_bounces, R_full, schedule)
+    if static_stages:
+        boundaries = [b for b, _ in static_stages]
+        widths = {b: w for b, w in static_stages}
+    else:
+        boundaries = _cascade_boundaries(max_bounces)
+        widths = {}
     segs = jnp.float32(0.0)
     bounces = jnp.int32(0)
     occ = None
+    overflow = None
     b0 = 0
     for b1 in boundaries:
         packed, banked, lane, n_alive, s1, bd, oc = _cascade_stage(
@@ -351,13 +400,20 @@ def _render_chunk_cascaded(scene, cam, base_key, sample_offset, bg, *,
         )
         segs, bounces = segs + s1, bounces + bd
         occ = oc if occ is None else occ + oc
-        n = int(n_alive)  # host sync: sizes the compacted continuation
-        R = packed["o"].shape[0]
-        S = R
-        for f in _CASCADE_SHRINKS:
-            if R // f >= max(n, 128) and (R // f) * f == R:
-                S = R // f
-                break
+        if static_stages:
+            S = widths[b1]
+            # live lanes sort first, so any live lane past the static
+            # slice shows up as n_alive - S (device scalar; no sync)
+            ov = jnp.maximum(n_alive - S, 0).astype(jnp.float32)
+            overflow = ov if overflow is None else overflow + ov
+        else:
+            n = int(n_alive)  # host sync: sizes the continuation
+            R = packed["o"].shape[0]
+            S = R
+            for f in _CASCADE_SHRINKS:
+                if R // f >= max(n, 128) and (R // f) * f == R:
+                    S = R // f
+                    break
         packed = {k: v[:S] for k, v in packed.items()}
         b0 = b1
     acc, s1, bd, oc = _cascade_stage(
@@ -366,6 +422,8 @@ def _render_chunk_cascaded(scene, cam, base_key, sample_offset, bg, *,
     )
     segs, bounces = segs + s1, bounces + bd
     occ = oc if occ is None else occ + oc
+    if overflow is not None:
+        occ = occ.at[-1].add(overflow)
     return acc, TraceStats(segments=segs, bounces=bounces, occupancy=occ)
 
 
@@ -404,6 +462,7 @@ def render_radiance(
                 spp_chunk=chunk, spp_total=spp,
                 max_bounces=settings.max_bounces,
                 rr_start=settings.russian_roulette_start,
+                schedule=settings.cascade_schedule,
             )
             acc = acc + part
             total_segments = total_segments + stats.segments

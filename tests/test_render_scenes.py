@@ -120,3 +120,35 @@ def test_cascade_matches_chunked():
     np.testing.assert_allclose(
         np.asarray(img), np.asarray(img2), atol=2e-6, rtol=1e-5
     )
+
+
+def test_cascade_static_schedule():
+    """Static-width cascade (no host sync; RenderSettings.
+    cascade_schedule) must equal the chunked renderer exactly, with a
+    zero overflow counter; an over-tight schedule must report dropped
+    live lanes in occupancy[-1] instead of silently biasing."""
+    import dataclasses
+    import os
+
+    os.environ["RPT_PROJ_INTERPRET"] = "1"
+    try:
+        sd = get_scene("SphereField")
+        scene = sd.build()
+        cam = sd.camera_at(0.0)
+        s = RenderSettings(32, 18, 4, 10, (1.0, 1.0, 1.0), spp_chunk=4)
+        img0, st0 = render_radiance(scene, cam, s, jax.random.PRNGKey(0))
+        s_static = dataclasses.replace(
+            s, cascade=True, cascade_schedule="3:2,6:4"
+        )
+        img1, st1 = render_radiance(scene, cam, s_static,
+                                    jax.random.PRNGKey(0))
+        assert float(st1.segments) == float(st0.segments)
+        assert float(st1.occupancy[-1]) == 0.0
+        np.testing.assert_allclose(np.asarray(img1), np.asarray(img0),
+                                   rtol=1e-6, atol=1e-6)
+        s_tight = dataclasses.replace(s, cascade=True,
+                                      cascade_schedule="1:16")
+        _, st2 = render_radiance(scene, cam, s_tight, jax.random.PRNGKey(0))
+        assert float(st2.occupancy[-1]) > 0
+    finally:
+        os.environ.pop("RPT_PROJ_INTERPRET", None)
