@@ -43,17 +43,22 @@ def main():
     # (name, kwargs, width, height, spp, bounces, rebuild_bvh, rr, mode)
     # rr = Russian-roulette start bounce (BASELINE.json's north star
     # includes per-bounce RR; unbiased).  mode: "regen" routes through
-    # the regeneration wavefront (estimator-identical; wavefront.py).
-    # Measured round 2 on v5e: LightTest regen flush_every=2 = 7.4 s
-    # with NO RR (vs 19.5 s chunked+rr8 in round 1, same mean).
-    # ModelTest keeps rr4 (-25%) on the chunked path.
+    # the regeneration wavefront (estimator-identical; wavefront.py);
+    # "cascade:<schedule>" uses the one-jit static cascade (render.py
+    # _render_chunk_cascaded_static; estimator-exact, occupancy[-1]
+    # asserted zero below).  Measured round 2 on v5e: LightTest regen
+    # flush_every=2 = 7.4 s with NO RR (vs 19.5 s chunked+rr8 round 1,
+    # same mean); SphereField 1M-lane chunk 0.928 -> 0.281 s via
+    # cascade "5:8,9:64" + RR@4; ModelTest keeps rr4 chunked (cascade
+    # measured 0.97 vs 0.865 there).
     configs = [
         ("TwoSphereCheckers", {}, 400, 225, 64, 8, False, None, "chunked"),
         ("LightTest", {}, 512, 512, 256, 50, False, None, "regen"),
         ("CornellBox", {}, 512, 512, 1024, 20, False, None, "chunked"),
         ("ModelTest", {"obj_path": objp}, 512, 512, 256, 20, False, 4,
          "chunked"),
-        ("SphereField", {}, 1280, 720, 512, 20, True, None, "chunked"),
+        ("SphereField", {}, 1280, 720, 512, 20, True, 4,
+         "cascade:5:8,9:64"),
     ]
     key = jax.random.PRNGKey(0)
 
@@ -63,9 +68,14 @@ def main():
         sd = get_scene(name, **kwargs)
         if args.quick:
             spp = max(1, spp // 16)
+        cascade_schedule = None
+        if mode.startswith("cascade:"):
+            cascade_schedule = mode.split(":", 1)[1]
         settings = RenderSettings(
             w, h, spp, bounces, sd.output.image.background,
             russian_roulette_start=rr,
+            cascade=cascade_schedule is not None,
+            cascade_schedule=cascade_schedule,
         )
         scene = sd.build()
         cam = sd.camera_at(0.0)
@@ -84,6 +94,8 @@ def main():
         warm = RenderSettings(
             w, h, chunk, bounces, sd.output.image.background, spp_chunk=chunk,
             russian_roulette_start=rr,
+            cascade=cascade_schedule is not None,
+            cascade_schedule=cascade_schedule,
         )
         img, _ = render(scene, cam, warm, key)
         _ = float(img.mean())
@@ -95,6 +107,10 @@ def main():
         _ = float(img.mean())
         dt = time.perf_counter() - t0
         rays = float(stats.segments)
+        if cascade_schedule is not None:
+            # unbiasedness guard: no live lane fell past a static slice
+            assert float(stats.occupancy[-1]) == 0.0, (
+                name, float(stats.occupancy[-1]))
         print(
             json.dumps(
                 {

@@ -312,14 +312,20 @@ def _cascade_stage(scene, packed, background, banked, lane, *, b0, b1,
         ckey = jnp.zeros((W,), jnp.int32)
     skey = jnp.where(alive, ckey, np.int32(2 ** 30))
     iota = jnp.arange(W, dtype=jnp.int32)
-    _, perm = jax.lax.sort((skey, iota), num_keys=1)
+    # is_stable so the permutation is identical across compilations
+    # (ties are common: every dead lane shares one key) — the fused
+    # one-jit chunk must match the stage-per-jit pipeline bitwise
+    _, perm = jax.lax.sort((skey, iota), num_keys=1, is_stable=True)
     out = dict(
         o=state["o"][perm], d=state["d"][perm], thr=state["thr"][perm],
         rad=jnp.where(alive[:, None], state["rad"], 0.0)[perm],
         alive=alive[perm], lkeys=packed["lkeys"][perm],
     )
-    banked = banked.at[:W].set(banked[:W][perm])
-    lane = lane.at[:W].set(lane[:W][perm])
+    # concatenate, do NOT x.at[:W].set(x[:W][perm]): the self-referencing
+    # update miscompiled inside a fused jit (lane stopped being a
+    # permutation; XLA in-place DUS + gather aliasing hazard)
+    banked = jnp.concatenate([banked[:W][perm], banked[W:]], axis=0)
+    lane = jnp.concatenate([lane[:W][perm], lane[W:]], axis=0)
     n_alive = jnp.sum(alive.astype(jnp.int32))
     return (out, banked, lane, n_alive, state["segments"], b_done,
             state["occupancy"])
@@ -361,6 +367,51 @@ def _cascade_static_schedule(max_bounces, n_lanes, settings_schedule=None):
     return out
 
 
+@partial(jax.jit, static_argnames=("width", "height", "spp_chunk",
+                                   "max_bounces", "rr_start", "stages"))
+def _render_chunk_cascaded_static(scene, cam, base_key, sample_offset, bg,
+                                  *, width, height, spp_chunk, spp_total,
+                                  max_bounces, rr_start, stages):
+    """The whole static-schedule cascade chunk as ONE jit: spawn,
+    full-width stage, per-boundary sort/slice at the fixed widths,
+    compacted tails, final sort-unscramble.  Zero host syncs and zero
+    inter-stage dispatch gaps (measured ~100 ms/chunk over the remote
+    tunnel even with no data dependency on the host).  ``stages`` is a
+    static tuple of (boundary, width)."""
+    packed, banked, lane = _cascade_spawn.__wrapped__(
+        scene, cam, base_key, sample_offset,
+        width=width, height=height, spp_chunk=spp_chunk,
+        spp_total=spp_total,
+    )
+    segs = jnp.float32(0.0)
+    bounces = jnp.int32(0)
+    occ = None
+    overflow = jnp.float32(0.0)
+    b0 = 0
+    for b1, S in stages:
+        packed, banked, lane, n_alive, s1, bd, oc = (
+            _cascade_stage.__wrapped__(
+                scene, packed, bg, banked, lane, b0=b0, b1=b1,
+                rr_start=rr_start, final=False, spp_chunk=spp_chunk,
+            )
+        )
+        segs, bounces = segs + s1, bounces + bd
+        occ = oc if occ is None else occ + oc
+        overflow = overflow + jnp.maximum(n_alive - S, 0).astype(
+            jnp.float32
+        )
+        packed = {k: v[:S] for k, v in packed.items()}
+        b0 = b1
+    acc, s1, bd, oc = _cascade_stage.__wrapped__(
+        scene, packed, bg, banked, lane, b0=b0, b1=max_bounces,
+        rr_start=rr_start, final=True, spp_chunk=spp_chunk,
+    )
+    segs, bounces = segs + s1, bounces + bd
+    occ = oc if occ is None else occ + oc
+    occ = occ.at[-1].add(overflow)
+    return acc, TraceStats(segments=segs, bounces=bounces, occupancy=occ)
+
+
 def _render_chunk_cascaded(scene, cam, base_key, sample_offset, bg, *,
                            width, height, spp_chunk, spp_total,
                            max_bounces, rr_start, schedule=None):
@@ -375,23 +426,24 @@ def _render_chunk_cascaded(scene, cam, base_key, sample_offset, bg, *,
     are fixed, no sync at all; live lanes that would fall past a
     slice are counted into occupancy[-1] (must be zero — see
     RenderSettings.cascade_schedule)."""
+    R_full = width * height * spp_chunk
+    static_stages = _cascade_static_schedule(max_bounces, R_full, schedule)
+    if static_stages:
+        return _render_chunk_cascaded_static(
+            scene, cam, base_key, sample_offset, bg,
+            width=width, height=height, spp_chunk=spp_chunk,
+            spp_total=spp_total, max_bounces=max_bounces,
+            rr_start=rr_start, stages=tuple(static_stages),
+        )
     packed, banked, lane = _cascade_spawn(
         scene, cam, base_key, sample_offset,
         width=width, height=height, spp_chunk=spp_chunk,
         spp_total=spp_total,
     )
-    R_full = packed["o"].shape[0]
-    static_stages = _cascade_static_schedule(max_bounces, R_full, schedule)
-    if static_stages:
-        boundaries = [b for b, _ in static_stages]
-        widths = {b: w for b, w in static_stages}
-    else:
-        boundaries = _cascade_boundaries(max_bounces)
-        widths = {}
+    boundaries = _cascade_boundaries(max_bounces)
     segs = jnp.float32(0.0)
     bounces = jnp.int32(0)
     occ = None
-    overflow = None
     b0 = 0
     for b1 in boundaries:
         packed, banked, lane, n_alive, s1, bd, oc = _cascade_stage(
@@ -400,20 +452,13 @@ def _render_chunk_cascaded(scene, cam, base_key, sample_offset, bg, *,
         )
         segs, bounces = segs + s1, bounces + bd
         occ = oc if occ is None else occ + oc
-        if static_stages:
-            S = widths[b1]
-            # live lanes sort first, so any live lane past the static
-            # slice shows up as n_alive - S (device scalar; no sync)
-            ov = jnp.maximum(n_alive - S, 0).astype(jnp.float32)
-            overflow = ov if overflow is None else overflow + ov
-        else:
-            n = int(n_alive)  # host sync: sizes the continuation
-            R = packed["o"].shape[0]
-            S = R
-            for f in _CASCADE_SHRINKS:
-                if R // f >= max(n, 128) and (R // f) * f == R:
-                    S = R // f
-                    break
+        n = int(n_alive)  # host sync: sizes the compacted continuation
+        R = packed["o"].shape[0]
+        S = R
+        for f in _CASCADE_SHRINKS:
+            if R // f >= max(n, 128) and (R // f) * f == R:
+                S = R // f
+                break
         packed = {k: v[:S] for k, v in packed.items()}
         b0 = b1
     acc, s1, bd, oc = _cascade_stage(
@@ -422,8 +467,6 @@ def _render_chunk_cascaded(scene, cam, base_key, sample_offset, bg, *,
     )
     segs, bounces = segs + s1, bounces + bd
     occ = oc if occ is None else occ + oc
-    if overflow is not None:
-        occ = occ.at[-1].add(overflow)
     return acc, TraceStats(segments=segs, bounces=bounces, occupancy=occ)
 
 
