@@ -114,6 +114,12 @@ def main():
         f" stages={rl['stages']}",
         file=sys.stderr,
     )
+    # Structural floor (DESIGN.md §10, all measured on this chip):
+    # nondiff while_loop forward 53.8 ms + residual round-trip ~6 ms
+    # (2.47 GB at 820 GB/s) + transposed shading sweep 26.8 ms.  Every
+    # structural lever tried against the remainder (cond-skip, 3 remat
+    # policies, 4 static-cascade schedules) measured SLOWER.
+    floor_ms = 53.8 + 6.0 + 26.8
     print(
         json.dumps(
             {
@@ -123,6 +129,8 @@ def main():
                 "vs_baseline": rays_per_sec / REFERENCE_CPU_RAYS_PER_SEC_ESTIMATE,
                 "roofline_bound": rl["bound"],
                 "roofline_sol_fraction": round(rl["sol_fraction"], 3),
+                "structural_floor_ms": floor_ms,
+                "floor_fraction": round(floor_ms / (dt * 1e3), 3),
             }
         )
     )

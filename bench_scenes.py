@@ -97,7 +97,11 @@ def main():
             cascade=cascade_schedule is not None,
             cascade_schedule=cascade_schedule,
         )
-        img, _ = render(scene, cam, warm, key)
+        # the regen wavefront bakes spp into its spawn jit (static
+        # np.uint32 constant) — a chunk-spp warm would leave the timed
+        # run paying a fresh ~20 s compile, so warm with the full
+        # settings there
+        img, _ = render(scene, cam, settings if use_regen else warm, key)
         _ = float(img.mean())
 
         t0 = time.perf_counter()
