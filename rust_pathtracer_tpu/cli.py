@@ -51,6 +51,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--profile-dir", help="write a jax.profiler trace here")
     p.add_argument(
+        "--cascade", default=None, metavar="SCHEDULE", nargs="?",
+        const="dynamic",
+        help="compact the wavefront once occupancy collapses "
+             "(estimator-exact).  Bare --cascade uses the dynamic "
+             "host-synced boundaries; pass a static schedule like "
+             "5:8,9:64 (boundary:shrink,...) for the one-jit no-sync "
+             "cascade (best for shallow-depth big scenes, e.g. "
+             "SphereField; see docs/DESIGN.md §11)",
+    )
+    p.add_argument(
         "--regen", action="store_true",
         help="regeneration wavefront: terminated lanes refill from the "
              "sample queue (best for deep-bounce scenes, e.g. LightTest)",
@@ -125,6 +135,10 @@ def main(argv=None) -> int:
         overrides["spp_chunk"] = args.spp_chunk
     if args.russian_roulette is not None:
         overrides["russian_roulette_start"] = args.russian_roulette
+    if args.cascade is not None:
+        overrides["cascade"] = True
+        if args.cascade != "dynamic":
+            overrides["cascade_schedule"] = args.cascade
     if overrides:
         settings = dataclasses.replace(settings, **overrides)
 
