@@ -30,6 +30,8 @@ from rust_pathtracer_tpu.scene.obj_loader import write_benchmark_obj
 CONFIGS = {
     "ModelTest": ({"obj_path": "/tmp/rock.obj"}, 512, 512, 20),
     "SphereField": ({}, 1280, 720, 20),
+    "CornellBox": ({}, 512, 512, 20),
+    "LightTest": ({}, 512, 512, 50),
 }
 kw, w, h, nb = CONFIGS[name]
 if "obj_path" in kw:
@@ -45,8 +47,9 @@ spp = int(os.environ.get("RPT_SPPCHUNK", spp))  # chunk-size probes
 rr = os.environ.get("RPT_RR")
 settings = RenderSettings(w, h, spp, nb, bg, spp_chunk=spp,
                           russian_roulette_start=int(rr) if rr else None)
-print(f"backend={jax.default_backend()} bin={binflag} spp={spp} "
-      f"cols={scene.proj.num_cols} col_block={scene.proj.col_block}",
+cols = (f"cols={scene.proj.num_cols} col_block={scene.proj.col_block}"
+        if scene.proj is not None else "v1-fused")
+print(f"backend={jax.default_backend()} bin={binflag} spp={spp} {cols}",
       flush=True)
 
 t0 = time.perf_counter()
