@@ -49,14 +49,15 @@ def main():
     # asserted zero below).  Measured round 2 on v5e: LightTest regen
     # flush_every=2 = 7.4 s with NO RR (vs 19.5 s chunked+rr8 round 1,
     # same mean); SphereField 1M-lane chunk 0.928 -> 0.281 s via
-    # cascade "5:8,9:64" + RR@4; ModelTest keeps rr4 chunked (cascade
-    # measured 0.97 vs 0.865 there).
+    # cascade "5:8,9:64" + RR@4; ModelTest chunk 0.865 (chunked) ->
+    # 0.689 s via cascade "2:4,4:32,8:256" + RR@4 (occupancy is 8.6%
+    # by bounce 2).
     configs = [
         ("TwoSphereCheckers", {}, 400, 225, 64, 8, False, None, "chunked"),
         ("LightTest", {}, 512, 512, 256, 50, False, None, "regen"),
         ("CornellBox", {}, 512, 512, 1024, 20, False, None, "chunked"),
         ("ModelTest", {"obj_path": objp}, 512, 512, 256, 20, False, 4,
-         "chunked"),
+         "cascade:2:4,4:32,8:256"),
         ("SphereField", {}, 1280, 720, 512, 20, True, 4,
          "cascade:5:8,9:64"),
     ]
