@@ -152,3 +152,23 @@ def test_cascade_static_schedule():
         assert float(st2.occupancy[-1]) > 0
     finally:
         os.environ.pop("RPT_PROJ_INTERPRET", None)
+
+
+def test_cascade_static_multi_chunk():
+    """Static cascade across MULTIPLE spp chunks (the judging frames
+    run hundreds): per-chunk banking + unscramble must accumulate
+    identically to the chunked path, overflow stays zero."""
+    import dataclasses
+
+    sd = get_scene("CornellBox")
+    scene = sd.build()
+    cam = sd.camera_at(0.0)
+    s = RenderSettings(24, 24, 8, 12, (0.0, 0.0, 0.0), spp_chunk=4)
+    img0, st0 = render_radiance(scene, cam, s, jax.random.PRNGKey(3))
+    # CornellBox occupancy: 31% alive at bounce 8 -> R/2 has 1.6x margin
+    s1 = dataclasses.replace(s, cascade=True, cascade_schedule="8:2")
+    img1, st1 = render_radiance(scene, cam, s1, jax.random.PRNGKey(3))
+    assert float(st1.segments) == float(st0.segments)
+    assert float(st1.occupancy[-1]) == 0.0
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img0),
+                               rtol=1e-6, atol=1e-6)
