@@ -54,8 +54,12 @@ class RenderSettings:
     # boundary over the remote TPU tunnel).  Live lanes that would
     # fall past a slice are counted in TraceStats.occupancy[-1] and
     # MUST be zero for the result to be unbiased — pick shrinks with
-    # >=2x occupancy margin; bench tools assert it.  RPT_CASCADE_STATIC
-    # overrides.
+    # >=2x occupancy margin; bench tools assert it.  "auto" renders
+    # chunk 0 on the plain path and derives the schedule from its
+    # occupancy histogram (_derive_cascade_schedule, 2.5x margin).
+    # Setting a schedule implies cascade=True.  RPT_CASCADE_STATIC
+    # overrides.  Ignored by the mesh-sharded renderer
+    # (parallel/shard.py has its own chunk plan).
     cascade_schedule: Optional[str] = None
 
     # Default wavefront sizing.  v5e HBM holds ~1M-lane bounce state
@@ -412,6 +416,39 @@ def _render_chunk_cascaded_static(scene, cam, base_key, sample_offset, bg,
     return acc, TraceStats(segments=segs, bounces=bounces, occupancy=occ)
 
 
+def _derive_cascade_schedule(occupancy, n_lanes, max_bounces, *,
+                             margin=2.5, max_stages=3):
+    """Static cascade schedule from a measured occupancy histogram.
+
+    ``occupancy[b]`` = lanes alive entering bounce b (one chunk).  For
+    each candidate boundary pick the largest power-of-2 shrink whose
+    slice still holds ``margin`` x the measured live count (and >=128
+    lanes); emit a boundary when the shrink first becomes >1, then
+    whenever it jumps >=4x, up to ``max_stages``.  Returns a
+    "b:s,b:s" string or None when no boundary pays.  The
+    occupancy[-1] overflow guard still protects every chunk rendered
+    with the derived schedule (keys differ chunk to chunk).
+    """
+    nb = min(int(max_bounces), len(occupancy) - 1)
+    stages = []
+    cur = 1
+    for b in range(1, nb):
+        alive = float(occupancy[b])
+        s = 1
+        while (
+            s * 2 <= 1024
+            and n_lanes % (s * 2) == 0
+            and n_lanes // (s * 2) >= 128
+            and n_lanes // (s * 2) >= margin * alive
+        ):
+            s *= 2
+        emit = s > 1 and (cur == 1 or s >= 4 * cur)
+        if emit and len(stages) < max_stages:
+            stages.append(f"{b}:{s}")
+            cur = s
+    return ",".join(stages) if stages else None
+
+
 def _render_chunk_cascaded(scene, cam, base_key, sample_offset, bg, *,
                            width, height, spp_chunk, spp_total,
                            max_bounces, rr_start, schedule=None):
@@ -490,8 +527,11 @@ def render_radiance(
     import os
 
     cascade = (
-        settings.cascade or os.environ.get("RPT_CASCADE", "0") == "1"
+        settings.cascade
+        or os.environ.get("RPT_CASCADE", "0") == "1"
+        or settings.cascade_schedule is not None
     ) and not settings.differentiable
+    schedule = settings.cascade_schedule
 
     acc = jnp.zeros((settings.width * settings.height, 3), jnp.float32)
     total_segments = jnp.float32(0.0)
@@ -499,13 +539,38 @@ def render_radiance(
     total_occ = None
     for s0 in range(0, spp, chunk):
         if cascade:
+            if schedule == "auto" and s0 == 0:
+                # calibration chunk: render chunk 0 on the plain
+                # chunked path, then derive a static schedule from its
+                # measured occupancy histogram (2.5x margin, see
+                # _derive_cascade_schedule) for chunks 1..N.  One host
+                # sync per FRAME; the occupancy[-1] guard still
+                # protects every subsequent chunk.
+                part, stats = _render_chunk(
+                    scene, cam, key, jnp.uint32(s0), bg,
+                    width=settings.width, height=settings.height,
+                    spp_chunk=chunk, spp_total=spp,
+                    max_bounces=settings.max_bounces,
+                    rr_start=settings.russian_roulette_start,
+                    differentiable=False,
+                )
+                n_lanes = settings.width * settings.height * chunk
+                schedule = _derive_cascade_schedule(
+                    np.asarray(stats.occupancy), n_lanes,
+                    settings.max_bounces,
+                )
+                acc = acc + part
+                total_segments = total_segments + stats.segments
+                total_bounces = total_bounces + stats.bounces
+                total_occ = stats.occupancy
+                continue
             part, stats = _render_chunk_cascaded(
                 scene, cam, key, jnp.uint32(s0), bg,
                 width=settings.width, height=settings.height,
                 spp_chunk=chunk, spp_total=spp,
                 max_bounces=settings.max_bounces,
                 rr_start=settings.russian_roulette_start,
-                schedule=settings.cascade_schedule,
+                schedule=schedule,
             )
             acc = acc + part
             total_segments = total_segments + stats.segments

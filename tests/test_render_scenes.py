@@ -172,3 +172,31 @@ def test_cascade_static_multi_chunk():
     assert float(st1.occupancy[-1]) == 0.0
     np.testing.assert_allclose(np.asarray(img1), np.asarray(img0),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_cascade_auto_schedule():
+    """cascade_schedule="auto": chunk 0 calibrates (plain path), later
+    chunks run the derived one-jit static schedule — image equal to
+    the chunked renderer, zero overflow, same segments."""
+    import dataclasses
+
+    from rust_pathtracer_tpu.render import _derive_cascade_schedule
+
+    sd = get_scene("CornellBox")
+    scene = sd.build()
+    cam = sd.camera_at(0.0)
+    s = RenderSettings(24, 24, 12, 12, (0.0, 0.0, 0.0), spp_chunk=4)
+    img0, st0 = render_radiance(scene, cam, s, jax.random.PRNGKey(5))
+    s1 = dataclasses.replace(s, cascade_schedule="auto")
+    img1, st1 = render_radiance(scene, cam, s1, jax.random.PRNGKey(5))
+    assert float(st1.segments) == float(st0.segments)
+    assert float(st1.occupancy[-1]) == 0.0
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img0),
+                               rtol=1e-6, atol=1e-6)
+
+    # derivation sanity on a synthetic collapse curve: 1M lanes,
+    # 66/41/29/15/4.3/2.0/1.1/...% alive (the SphereField shape)
+    occ = np.array([1.0, 0.66, 0.41, 0.287, 0.154, 0.043, 0.02,
+                    0.0107, 0.0065] + [0.003] * 11) * (1 << 20)
+    sched = _derive_cascade_schedule(occ, 1 << 20, 20)
+    assert sched is not None and sched.startswith("4:2")
