@@ -611,3 +611,92 @@ def trace_resume(scene, o, d, thr, rad, alive, lane_keys, background,
         cond, body, (jnp.int32(start_bounce), state)
     )
     return state, bounce_end - jnp.int32(start_bounce)
+
+
+def trace_cascaded_static(scene, origins, directions, alive, lane_keys,
+                          background, max_bounces: int, stages,
+                          russian_roulette_start: Optional[int] = None):
+    """Nondiff trace with static-schedule wavefront compaction.
+
+    ``stages``: static ((boundary, width), ...) — at each boundary the
+    live lanes sort to the front (secondary key: cluster entry order)
+    and the trace continues on the fixed-width slice.  ``banked``
+    radiance and caller-index arrays ride the permutations (dense
+    slice updates + gathers; no scatter at any width — see
+    render.py _cascade_stage for the measured costs), and one
+    key/value sort restores caller order at the end.  Live lanes
+    dropped past a slice are counted into occupancy[-1] and MUST be
+    asserted zero by the caller.  All ops are shard-local, so this
+    runs unchanged inside shard_map (parallel/shard.py) — per-shard
+    compaction with zero cross-shard communication.
+
+    Returns (radiance (R, 3) in caller order, TraceStats).
+    """
+    R = origins.shape[0]
+    zeros3 = origins * 0.0
+    zero_scalar = jnp.sum(zeros3[..., 0])
+    # AND with an all-true array derived from the rays so shard_map's
+    # varying-axis tracking gives the carry the same axes as o/d (the
+    # caller's mask may vary over fewer mesh axes; see trace())
+    alive = alive & (zeros3[..., 0] == 0.0)
+    state = dict(
+        o=origins, d=directions, thr=zeros3 + 1.0, rad=zeros3, alive=alive,
+    )
+    banked = zeros3
+    lane = (zeros3[..., 0] == 1.0).astype(jnp.int32) + np.arange(
+        R, dtype=np.int32
+    )
+    lk = lane_keys
+    segs = zero_scalar
+    occ = zero_scalar + jnp.zeros((MAX_BOUNCE_STATS,), jnp.float32)
+    overflow = zero_scalar
+    bounces = jnp.int32(0)
+    b0 = 0
+    for b1, S in list(stages) + [(max_bounces, None)]:
+        st, bd = trace_resume(
+            scene, state["o"], state["d"], state["thr"], state["rad"],
+            state["alive"], lk, background, b0, b1,
+            russian_roulette_start=russian_roulette_start,
+        )
+        segs = segs + st["segments"]
+        occ = occ + st["occupancy"]
+        bounces = bounces + bd
+        W = state["o"].shape[0]
+        if S is None:
+            banked = banked.at[:W].add(st["rad"])
+            break
+        st_alive = st["alive"]
+        banked = banked.at[:W].add(
+            jnp.where(st_alive[:, None], 0.0, st["rad"])
+        )
+        if scene.proj is not None:
+            from rust_pathtracer_tpu.ops.projected import cluster_entry_key
+
+            ckey = cluster_entry_key(
+                scene.proj.cluster_bounds, st["o"], st["d"], T_MIN
+            )
+        else:
+            ckey = jnp.zeros((W,), jnp.int32)
+        skey = jnp.where(st_alive, ckey, np.int32(2 ** 30))
+        iota = jnp.arange(W, dtype=jnp.int32)
+        _, perm = jax.lax.sort((skey, iota), num_keys=1, is_stable=True)
+        n_alive = jnp.sum(st_alive.astype(jnp.int32))
+        overflow = overflow + jnp.maximum(n_alive - S, 0).astype(jnp.float32)
+        state = dict(
+            o=st["o"][perm][:S], d=st["d"][perm][:S],
+            thr=st["thr"][perm][:S],
+            rad=jnp.where(st_alive[:, None], st["rad"], 0.0)[perm][:S],
+            alive=st_alive[perm][:S],
+        )
+        # concatenate, NOT x.at[:W].set(x[:W][perm]) — the
+        # self-referencing update miscompiles in a fused jit
+        banked = jnp.concatenate([banked[:W][perm], banked[W:]], axis=0)
+        lane = jnp.concatenate([lane[:W][perm], lane[W:]], axis=0)
+        lk = lk[perm][:S]
+        b0 = b1
+    occ = occ.at[-1].add(overflow)
+    _, r0, r1, r2 = jax.lax.sort(
+        (lane, banked[:, 0], banked[:, 1], banked[:, 2]), num_keys=1
+    )
+    rad = jnp.stack([r0, r1, r2], axis=1)
+    return rad, TraceStats(segments=segs, bounces=bounces, occupancy=occ)

@@ -63,6 +63,25 @@ class ShardedChunkPlan:
         )
         self._args = (scene, cam, key, bg)
 
+        # static cascade per shard: all compaction ops are shard-local
+        # (integrator.trace_cascaded_static), so each tile compacts its
+        # own lanes with zero cross-shard communication; the
+        # occupancy[-1] overflow guard psums across shards.  "auto" is
+        # single-chip-only (needs a calibration chunk) — explicit
+        # schedules only here.
+        cascade_stages = None
+        if not settings.differentiable and (
+            settings.cascade or settings.cascade_schedule
+        ):
+            from rust_pathtracer_tpu.render import _cascade_static_schedule
+
+            sched = settings.cascade_schedule
+            st = _cascade_static_schedule(
+                settings.max_bounces, pix_per_tile * chunk,
+                sched if sched != "auto" else None,
+            )
+            cascade_stages = tuple(st) if st else None
+
         def tile_chunk(scene, cam, key, bg, c):
             # derive this device's pixel ids from its mesh coordinate —
             # no sharded input arrays, so the same code runs under
@@ -90,6 +109,7 @@ class ShardedChunkPlan:
                 max_bounces=settings.max_bounces,
                 rr_start=settings.russian_roulette_start,
                 differentiable=settings.differentiable,
+                cascade_stages=cascade_stages,
             )
             # combine sample-partial sums (the renderer's "all-reduce")
             acc = jax.lax.psum(part, SAMPLE_AXIS)

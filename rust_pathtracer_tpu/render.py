@@ -106,18 +106,31 @@ def trace_pixel_lanes(
     max_bounces: int,
     rr_start: Optional[int],
     differentiable: bool = False,
+    cascade_stages=None,
 ):
     """Trace len(pix)*spp_chunk lanes for the given pixel ids.
 
     Shared by the single-chip chunk loop and the shard_map tile path
     (parallel/shard.py) — pixel ids are data, so a device can own any
-    tile of the image.  Returns (sum_radiance (len(pix), 3), stats).
+    tile of the image.  ``cascade_stages``: static ((boundary, width),
+    ...) routes the nondiff trace through the shard-local static
+    cascade (integrator.trace_cascaded_static).  Returns
+    (sum_radiance (len(pix), 3), stats).
     """
     npix = pix.shape[0]
     lkeys, o, d, in_range = _make_lanes(
         cam, base_key, pix, sample_offset, width=width, height=height,
         spp_chunk=spp_chunk, spp_total=spp_total,
     )
+
+    if cascade_stages and not differentiable:
+        from rust_pathtracer_tpu.integrator import trace_cascaded_static
+
+        rad, stats = trace_cascaded_static(
+            scene, o, d, in_range, lkeys, background, max_bounces,
+            tuple(cascade_stages), russian_roulette_start=rr_start,
+        )
+        return rad.reshape(npix, spp_chunk, 3).sum(axis=1), stats
 
     rad, stats = trace(
         scene,
@@ -381,39 +394,23 @@ def _render_chunk_cascaded_static(scene, cam, base_key, sample_offset, bg,
     compacted tails, final sort-unscramble.  Zero host syncs and zero
     inter-stage dispatch gaps (measured ~100 ms/chunk over the remote
     tunnel even with no data dependency on the host).  ``stages`` is a
-    static tuple of (boundary, width)."""
-    packed, banked, lane = _cascade_spawn.__wrapped__(
-        scene, cam, base_key, sample_offset,
-        width=width, height=height, spp_chunk=spp_chunk,
-        spp_total=spp_total,
+    static tuple of (boundary, width); the lane-level cascade itself
+    lives in integrator.trace_cascaded_static (shared with the
+    mesh-sharded renderer)."""
+    from rust_pathtracer_tpu.integrator import trace_cascaded_static
+
+    npix = width * height
+    pix = np.arange(npix, dtype=np.uint32)
+    lkeys, o, d, alive = _make_lanes(
+        cam, base_key, pix, sample_offset, width=width, height=height,
+        spp_chunk=spp_chunk, spp_total=spp_total,
     )
-    segs = jnp.float32(0.0)
-    bounces = jnp.int32(0)
-    occ = None
-    overflow = jnp.float32(0.0)
-    b0 = 0
-    for b1, S in stages:
-        packed, banked, lane, n_alive, s1, bd, oc = (
-            _cascade_stage.__wrapped__(
-                scene, packed, bg, banked, lane, b0=b0, b1=b1,
-                rr_start=rr_start, final=False, spp_chunk=spp_chunk,
-            )
-        )
-        segs, bounces = segs + s1, bounces + bd
-        occ = oc if occ is None else occ + oc
-        overflow = overflow + jnp.maximum(n_alive - S, 0).astype(
-            jnp.float32
-        )
-        packed = {k: v[:S] for k, v in packed.items()}
-        b0 = b1
-    acc, s1, bd, oc = _cascade_stage.__wrapped__(
-        scene, packed, bg, banked, lane, b0=b0, b1=max_bounces,
-        rr_start=rr_start, final=True, spp_chunk=spp_chunk,
+    rad, stats = trace_cascaded_static(
+        scene, o, d, alive, lkeys, bg, max_bounces, stages,
+        russian_roulette_start=rr_start,
     )
-    segs, bounces = segs + s1, bounces + bd
-    occ = oc if occ is None else occ + oc
-    occ = occ.at[-1].add(overflow)
-    return acc, TraceStats(segments=segs, bounces=bounces, occupancy=occ)
+    acc = rad.reshape(npix, spp_chunk, 3).sum(axis=1)
+    return acc, stats
 
 
 def _derive_cascade_schedule(occupancy, n_lanes, max_bounces, *,

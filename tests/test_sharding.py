@@ -62,3 +62,26 @@ def test_sharded_odd_spp_split(cornell):
     ref, _ = render_radiance(scene, cam, s, key)
     img, _ = render_radiance_sharded(scene, cam, s, key, make_mesh(tiles=2, samples=4))
     assert np.allclose(np.asarray(img), np.asarray(ref), atol=2e-6)
+
+
+def test_sharded_cascade_matches_single(cornell):
+    """Per-shard static cascade (trace_cascaded_static under
+    shard_map): image equals the single-device plain render, overflow
+    guard (occupancy[-1], psum'd across shards) stays zero."""
+    import dataclasses
+
+    scene, cam = cornell
+    key = jax.random.PRNGKey(11)
+    # CornellBox: 31% alive at bounce 8 -> R/2 slice has 1.6x margin
+    s_plain = dataclasses.replace(SETTINGS, max_bounces=12)
+    ref, _ = render_radiance(scene, cam, s_plain, key)
+    s = dataclasses.replace(s_plain, cascade_schedule="8:2")
+    from rust_pathtracer_tpu.render import _cascade_static_schedule
+
+    # the schedule must actually engage for the per-shard lane count
+    lanes_per_shard = (24 * 24 // 4) * s.resolve_chunk()
+    assert _cascade_static_schedule(12, lanes_per_shard, "8:2")
+    mesh = make_mesh(tiles=4, samples=2)
+    img, stats = render_radiance_sharded(scene, cam, s, key, mesh)
+    assert float(stats.occupancy[-1]) == 0.0
+    assert np.allclose(np.asarray(img), np.asarray(ref), atol=2e-6)
