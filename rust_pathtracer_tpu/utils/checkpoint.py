@@ -89,7 +89,19 @@ def render_radiance_checkpointed(
     import jax.numpy as jnp
 
     from rust_pathtracer_tpu.integrator import TraceStats
-    from rust_pathtracer_tpu.render import _render_chunk
+    from rust_pathtracer_tpu.render import (
+        _render_chunk,
+        _render_chunk_cascaded,
+    )
+
+    use_cascade = (
+        settings.cascade or settings.cascade_schedule is not None
+    ) and not settings.differentiable
+    # "auto" needs a calibration chunk the resume loop doesn't model;
+    # fall back to the dynamic host-synced boundaries there
+    schedule = settings.cascade_schedule
+    if schedule == "auto":
+        schedule = None
 
     spp = settings.samples_per_pixel
     chunk = settings.resolve_chunk()
@@ -114,16 +126,28 @@ def render_radiance_checkpointed(
 
     chunk_index = 0
     for s0 in range(start, spp, chunk):
-        part, stats = _render_chunk(
-            scene, cam, key, jnp.uint32(s0), bg,
-            width=settings.width,
-            height=settings.height,
-            spp_chunk=chunk,
-            spp_total=spp,
-            max_bounces=settings.max_bounces,
-            rr_start=settings.russian_roulette_start,
-            differentiable=settings.differentiable,
-        )
+        if use_cascade:
+            part, stats = _render_chunk_cascaded(
+                scene, cam, key, jnp.uint32(s0), bg,
+                width=settings.width,
+                height=settings.height,
+                spp_chunk=chunk,
+                spp_total=spp,
+                max_bounces=settings.max_bounces,
+                rr_start=settings.russian_roulette_start,
+                schedule=schedule,
+            )
+        else:
+            part, stats = _render_chunk(
+                scene, cam, key, jnp.uint32(s0), bg,
+                width=settings.width,
+                height=settings.height,
+                spp_chunk=chunk,
+                spp_total=spp,
+                max_bounces=settings.max_bounces,
+                rr_start=settings.russian_roulette_start,
+                differentiable=settings.differentiable,
+            )
         acc = acc + part
         segments += float(stats.segments)
         chunk_index += 1

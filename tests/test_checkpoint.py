@@ -144,3 +144,37 @@ def test_sharded_checkpoint_kill_and_resume(tmp_path, monkeypatch):
         scene, cam, s, key, mesh3, p
     )
     assert np.array_equal(np.asarray(img3), np.asarray(ref))
+
+
+def test_checkpoint_resume_with_cascade(tmp_path):
+    """Cascade-configured settings must survive interrupt/resume
+    bitwise (the chunk renderer routes through the static cascade)."""
+    import dataclasses
+
+    sd = get_scene("CornellBox")
+    scene = sd.build()
+    cam = sd.camera_at(0.0)
+    s = RenderSettings(16, 16, 8, 12, (0.0, 0.0, 0.0), spp_chunk=4,
+                       cascade_schedule="8:2")
+    key = jax.random.PRNGKey(2)
+    path = str(tmp_path / "casc.ckpt")
+    full, _ = render_radiance_checkpointed(scene, cam, s, key, path)
+
+    # simulate an interrupt: render only chunk 0 (same spp_total so
+    # the RNG counters match), save its state, resume from it
+    import jax.numpy as jnp
+
+    from rust_pathtracer_tpu.render import _render_chunk_cascaded
+
+    part, _ = _render_chunk_cascaded(
+        scene, cam, key, jnp.uint32(0), jnp.zeros(3),
+        width=16, height=16, spp_chunk=4, spp_total=8, max_bounces=12,
+        rr_start=None, schedule="8:2",
+    )
+    path2 = str(tmp_path / "casc2.ckpt")
+    save_checkpoint(path2, RenderCheckpoint(
+        acc=np.asarray(part), samples_done=4, width=16, height=16,
+        spp_total=8, key_data=np.asarray(key), segments=0.0,
+    ))
+    resumed, _ = render_radiance_checkpointed(scene, cam, s, key, path2)
+    assert np.array_equal(np.asarray(full), np.asarray(resumed))
