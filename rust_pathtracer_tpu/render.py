@@ -237,15 +237,24 @@ def _render_chunk(
 # The chunked while_loop pays every per-bounce cost at the FULL lane
 # count for all max_bounces iterations even when mean path depth is
 # ~3 (SphereField: 20 iterations at 0.92M lanes for 2.9 mean depth).
-# The cascade runs the first CASCADE_B1 bounces at full width, sorts
-# live lanes to the front (secondary key: cluster entry order, so the
-# projected kernels see coherent blocks), accumulates finished lanes'
-# radiance, and resumes the remaining bounces on a 1/2..1/32 slice
-# sized by the fetched live count.  Per-lane radiance is bitwise
-# UNCHANGED (RNG folds on carried lane keys + global bounce index);
-# only the f32 accumulation order into the image differs from the
-# plain chunked path.  Estimator-exact; opt-in via
-# RenderSettings.cascade or RPT_CASCADE=1.
+# The cascade runs the first bounces at full width, sorts live lanes
+# to the front (secondary key: cluster entry order, so the projected
+# kernels see coherent blocks), accumulates finished lanes' radiance,
+# and resumes the remaining bounces on a narrow slice.  Per-lane
+# radiance is bitwise UNCHANGED (RNG folds on carried lane keys +
+# global bounce index); only the f32 accumulation order into the
+# image differs from the plain chunked path.  Estimator-exact.
+#
+# Three variants (DESIGN.md §11):
+#  * dynamic (below): slice sized by a fetched live count — one host
+#    sync per boundary (~100 ms over the remote tunnel);
+#  * static (RenderSettings.cascade_schedule "5:8,9:64"): fixed
+#    widths, whole chunk in ONE jit, overflow guard in occupancy[-1];
+#    the lane-level loop lives in integrator.trace_cascaded_static
+#    and also runs per shard under shard_map (parallel/shard.py);
+#  * "auto": chunk 0 calibrates the static schedule from its
+#    occupancy histogram (_derive_cascade_schedule).
+# Opt-in via RenderSettings.cascade / cascade_schedule / RPT_CASCADE.
 # ---------------------------------------------------------------------------
 
 CASCADE_B1 = 3
