@@ -356,6 +356,8 @@ def _diff_cascade_stages(max_bounces, n_lanes):
     raw = os.environ.get("RPT_DIFF_CASCADE")
     if not raw:
         return []
+    if max_bounces >= MAX_BOUNCE_STATS - 1:
+        return []  # overflow slot would alias a real bounce count
     stages = []
     prev_b, prev_s = 0, 1
     for part in raw.split(","):

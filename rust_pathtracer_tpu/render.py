@@ -377,6 +377,12 @@ def _cascade_static_schedule(max_bounces, n_lanes, settings_schedule=None):
     raw = os.environ.get("RPT_CASCADE_STATIC") or settings_schedule
     if not raw:
         return []
+    from rust_pathtracer_tpu.integrator import MAX_BOUNCE_STATS
+
+    if max_bounces >= MAX_BOUNCE_STATS - 1:
+        # the occupancy[-1] overflow guard would alias a real bounce
+        # slot — fall back to the dynamic host-synced cascade
+        return []
     out = []
     prev_b, prev_w = 0, n_lanes + 1
     for part in raw.split(","):
