@@ -55,10 +55,18 @@ def write_gif(path: str, frames: Sequence[np.ndarray], fps: float) -> None:
 
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     imgs = [Image.fromarray(np.asarray(f, np.uint8), mode="RGB") for f in frames]
-    imgs[0].save(
+    # one adaptive (median-cut) palette shared by every frame, with
+    # Floyd-Steinberg dithering — PIL's default per-frame web-safe
+    # conversion bands smooth gradients and flickers between frames
+    base = imgs[0].quantize(colors=256, method=Image.Quantize.MEDIANCUT)
+    pal = [
+        im.quantize(palette=base, dither=Image.Dither.FLOYDSTEINBERG)
+        for im in imgs
+    ]
+    pal[0].save(
         path,
         save_all=True,
-        append_images=imgs[1:],
+        append_images=pal[1:],
         duration=int(1000.0 / fps),
         loop=0,
     )
