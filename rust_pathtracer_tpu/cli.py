@@ -136,6 +136,10 @@ def main(argv=None) -> int:
     if args.russian_roulette is not None:
         overrides["russian_roulette_start"] = args.russian_roulette
     if args.cascade is not None:
+        if args.regen:
+            p = build_parser()
+            p.error("--cascade and --regen are mutually exclusive "
+                    "renderer modes")
         overrides["cascade"] = True
         if args.cascade != "dynamic":
             overrides["cascade_schedule"] = args.cascade
