@@ -141,8 +141,16 @@ def main(argv=None) -> int:
             p.error("--cascade and --regen are mutually exclusive "
                     "renderer modes")
         overrides["cascade"] = True
-        if args.cascade != "dynamic":
+        if args.cascade not in ("dynamic", "auto"):
+            from rust_pathtracer_tpu.render import parse_cascade_schedule
+
+            try:
+                parse_cascade_schedule(args.cascade)
+            except ValueError as e:
+                build_parser().error(str(e))
             overrides["cascade_schedule"] = args.cascade
+        elif args.cascade == "auto":
+            overrides["cascade_schedule"] = "auto"
     if overrides:
         settings = dataclasses.replace(settings, **overrides)
 

@@ -347,9 +347,12 @@ def _diff_cascade_stages(max_bounces, n_lanes):
     14 -> "8:2,14:4" has ~1.6x headroom) — so reverse-mode AD sees a
     fixed-shape graph: no lax.cond, no host sync.  If a live lane ever
     falls past the slice (occupancy above the static budget) it is
-    DROPPED; the count of dropped-live lanes is recorded in occupancy
-    slot MAX_BOUNCE_STATS-1 and MUST be asserted zero by the caller
-    (bench.py / tests do).  Opt-in via env; off by default.
+    DROPPED and the image/gradients are biased; the count of
+    dropped-live lanes is recorded in occupancy slot
+    MAX_BOUNCE_STATS-1 and MUST be asserted zero by whoever enables
+    this env var (tests/test_grad.py does; nothing enables it in
+    production — the mode measured 3.5-5.4x SLOWER on v5e and exists
+    as a documented negative result, DESIGN.md §10).
     """
     import os
 
@@ -358,16 +361,16 @@ def _diff_cascade_stages(max_bounces, n_lanes):
         return []
     if max_bounces >= MAX_BOUNCE_STATS - 1:
         return []  # overflow slot would alias a real bounce count
-    stages = []
-    prev_b, prev_s = 0, 1
-    for part in raw.split(","):
-        b_str, s_str = part.split(":")
-        b, s = int(b_str), int(s_str)
-        if not (prev_b < b < max_bounces and s > prev_s and n_lanes % s == 0):
-            return []  # malformed/inapplicable: fall back to plain scan
-        stages.append((b, s))
-        prev_b, prev_s = b, s
-    return stages
+    from rust_pathtracer_tpu.render import parse_cascade_schedule
+
+    try:
+        pairs = parse_cascade_schedule(raw)
+    except ValueError:
+        return []  # malformed: fall back to the plain scan
+    for b, s in pairs:
+        if not (b < max_bounces and n_lanes % s == 0):
+            return []  # inapplicable to this lane count
+    return pairs
 
 
 def _trace_diff_cascade(init, lane_keys, make_step, stages, max_bounces):
@@ -381,8 +384,14 @@ def _trace_diff_cascade(init, lane_keys, make_step, stages, max_bounces):
     _diff_cascade_stages).
     """
     R = init["o"].shape[0]
-    banked = jnp.zeros((R, 3), jnp.float32)
-    lane = jnp.arange(R, dtype=jnp.int32)
+    # derive from the carried arrays so shard_map's varying-axis
+    # tracking gives banked/lane the same mesh axes as the wavefront
+    # (see trace() / trace_cascaded_static)
+    zeros3_full = init["o"] * 0.0
+    banked = zeros3_full
+    lane = (zeros3_full[..., 0] == 1.0).astype(jnp.int32) + np.arange(
+        R, dtype=np.int32
+    )
     state = dict(init)
     lk = lane_keys
     segments = jnp.float32(0.0)

@@ -81,6 +81,17 @@ class ShardedChunkPlan:
                 sched if sched != "auto" else None,
             )
             cascade_stages = tuple(st) if st else None
+            if cascade_stages is None:
+                import warnings
+
+                warnings.warn(
+                    "sharded render: cascade requested but no "
+                    "applicable STATIC schedule (dynamic boundaries "
+                    f"and 'auto' are single-chip-only; got "
+                    f"{sched!r} for {pix_per_tile * chunk} lanes/"
+                    "shard) — rendering the plain chunked path",
+                    stacklevel=3,
+                )
 
         def tile_chunk(scene, cam, key, bg, c):
             # derive this device's pixel ids from its mesh coordinate —

@@ -58,8 +58,10 @@ class RenderSettings:
     # chunk 0 on the plain path and derives the schedule from its
     # occupancy histogram (_derive_cascade_schedule, 2.5x margin).
     # Setting a schedule implies cascade=True.  RPT_CASCADE_STATIC
-    # overrides.  Ignored by the mesh-sharded renderer
-    # (parallel/shard.py has its own chunk plan).
+    # overrides.  The mesh-sharded renderer (parallel/shard.py)
+    # honors EXPLICIT schedules per shard; dynamic boundaries and
+    # "auto" calibration are single-chip-only (it warns and renders
+    # the plain path).
     cascade_schedule: Optional[str] = None
 
     # Default wavefront sizing.  v5e HBM holds ~1M-lane bounce state
@@ -368,10 +370,42 @@ def _cascade_boundaries(max_bounces):
     return [b for b in sorted(set(bs)) if 0 < b < max_bounces]
 
 
+def parse_cascade_schedule(raw):
+    """Parse a "b:s,b:s" schedule string into [(boundary, shrink)].
+
+    Raises ValueError with a readable message on malformed input
+    (non-integers, missing ':', non-increasing boundaries/shrinks) —
+    the CLI validates at argument-parse time with this; the renderer
+    helpers catch and fall back.
+    """
+    out = []
+    prev_b, prev_s = 0, 0
+    for part in raw.split(","):
+        try:
+            b_str, s_str = part.split(":")
+            b, s = int(b_str), int(s_str)
+        except ValueError:
+            raise ValueError(
+                f"cascade schedule entry {part!r} is not 'bounce:shrink'"
+            ) from None
+        if b <= prev_b:
+            raise ValueError(
+                f"cascade boundaries must increase, got {raw!r}"
+            )
+        if s <= prev_s:
+            raise ValueError(
+                f"cascade shrinks must increase, got {raw!r}"
+            )
+        out.append((b, s))
+        prev_b, prev_s = b, s
+    return out
+
+
 def _cascade_static_schedule(max_bounces, n_lanes, settings_schedule=None):
-    """Parse "5:8,9:16" -> [(boundary, static width)] (see
-    RenderSettings.cascade_schedule).  Returns [] when unset or
-    inapplicable (falls back to the dynamic host-synced cascade)."""
+    """Resolve "5:8,9:16" -> [(boundary, static width)] (see
+    RenderSettings.cascade_schedule).  Returns [] when unset,
+    malformed, or inapplicable to this lane count / bounce limit
+    (falls back to the dynamic host-synced cascade)."""
     import os
 
     raw = os.environ.get("RPT_CASCADE_STATIC") or settings_schedule
@@ -383,19 +417,16 @@ def _cascade_static_schedule(max_bounces, n_lanes, settings_schedule=None):
         # the occupancy[-1] overflow guard would alias a real bounce
         # slot — fall back to the dynamic host-synced cascade
         return []
+    try:
+        pairs = parse_cascade_schedule(raw)
+    except ValueError:
+        return []
     out = []
-    prev_b, prev_w = 0, n_lanes + 1
-    for part in raw.split(","):
-        b_str, s_str = part.split(":")
-        b, shrink = int(b_str), int(s_str)
-        if not (prev_b < b < max_bounces and shrink > 0
-                and n_lanes % shrink == 0):
+    for b, shrink in pairs:
+        if not (b < max_bounces and n_lanes % shrink == 0
+                and n_lanes // shrink >= 1):
             return []
-        w = n_lanes // shrink
-        if not w < prev_w:
-            return []
-        out.append((b, w))
-        prev_b, prev_w = b, w
+        out.append((b, n_lanes // shrink))
     return out
 
 

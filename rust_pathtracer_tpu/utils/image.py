@@ -57,8 +57,14 @@ def write_gif(path: str, frames: Sequence[np.ndarray], fps: float) -> None:
     imgs = [Image.fromarray(np.asarray(f, np.uint8), mode="RGB") for f in frames]
     # one adaptive (median-cut) palette shared by every frame, with
     # Floyd-Steinberg dithering — PIL's default per-frame web-safe
-    # conversion bands smooth gradients and flickers between frames
-    base = imgs[0].quantize(colors=256, method=Image.Quantize.MEDIANCUT)
+    # conversion bands smooth gradients and flickers between frames.
+    # Build the palette from a montage sampled ACROSS frames (a
+    # fade-in first frame would otherwise pin a near-black palette on
+    # the whole animation).
+    sample_idx = sorted({0, len(imgs) // 2, len(imgs) - 1})
+    sample = [np.asarray(imgs[i]) for i in sample_idx]
+    montage = Image.fromarray(np.concatenate(sample, axis=0), mode="RGB")
+    base = montage.quantize(colors=256, method=Image.Quantize.MEDIANCUT)
     pal = [
         im.quantize(palette=base, dither=Image.Dither.FLOYDSTEINBERG)
         for im in imgs

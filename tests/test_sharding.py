@@ -78,8 +78,12 @@ def test_sharded_cascade_matches_single(cornell):
     s = dataclasses.replace(s_plain, cascade_schedule="8:2")
     from rust_pathtracer_tpu.render import _cascade_static_schedule
 
-    # the schedule must actually engage for the per-shard lane count
-    lanes_per_shard = (24 * 24 // 4) * s.resolve_chunk()
+    # the schedule must actually engage for the per-shard lane count:
+    # the plan's chunk is min(resolve_chunk(), spp_shard) with spp
+    # split over the 2-wide samples axis
+    spp_shard = -(-s.samples_per_pixel // 2)
+    chunk = min(s.resolve_chunk(), spp_shard)
+    lanes_per_shard = (24 * 24 // 4) * chunk
     assert _cascade_static_schedule(12, lanes_per_shard, "8:2")
     mesh = make_mesh(tiles=4, samples=2)
     img, stats = render_radiance_sharded(scene, cam, s, key, mesh)
