@@ -448,6 +448,7 @@ def trace(
     max_bounces: int,
     russian_roulette_start: Optional[int] = None,
     differentiable: bool = False,
+    remat: Optional[str] = None,
 ):
     """Estimate radiance for a wavefront of rays.
 
@@ -495,7 +496,11 @@ def trace(
         # default) disables remat up to ~24M lane-bounces (~7 GB of
         # residuals) and falls back to the names policy beyond;
         # RPT_REMAT overrides ("names" / "none").
-        mode = os.environ.get("RPT_REMAT", "auto")
+        # NOTE: the env fallback is read at TRACE time — invisible to a
+        # same-shape second call (jit cache).  Callers that vary the
+        # policy must pass ``remat`` (a static jit arg upstream) or
+        # clear caches; see RenderSettings.remat.
+        mode = remat or os.environ.get("RPT_REMAT", "auto")
         if mode == "auto":
             lane_bounces = origins.shape[0] * max_bounces
             mode = "none" if lane_bounces <= 24_000_000 else "mid"

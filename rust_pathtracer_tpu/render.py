@@ -45,6 +45,13 @@ class RenderSettings:
     russian_roulette_start: Optional[int] = None
     # use the reverse-differentiable scan loop (fixed trip count)
     differentiable: bool = False
+    # residual policy for the diff scan: None = "auto" (save
+    # everything while residuals fit, then "mid"); "none"/"mid"/
+    # "names" force a policy (DESIGN.md §10).  Plumbed as a static
+    # jit argument so changing it actually retraces (the RPT_REMAT
+    # env fallback is read at trace time and is invisible to a
+    # same-shape second call)
+    remat: Optional[str] = None
     # compact the wavefront after CASCADE_B1 bounces (estimator-exact;
     # see _render_chunk_cascaded).  RPT_CASCADE=1 forces it on.
     cascade: bool = False
@@ -109,6 +116,7 @@ def trace_pixel_lanes(
     rr_start: Optional[int],
     differentiable: bool = False,
     cascade_stages=None,
+    remat: Optional[str] = None,
 ):
     """Trace len(pix)*spp_chunk lanes for the given pixel ids.
 
@@ -143,6 +151,7 @@ def trace_pixel_lanes(
         max_bounces=max_bounces,
         russian_roulette_start=rr_start,
         differentiable=differentiable,
+        remat=remat,
     )
 
     # mask samples beyond spp_total (padded final chunk)
@@ -196,7 +205,7 @@ def _make_lanes(cam, base_key, pix, sample_offset, *, width, height,
     jax.jit,
     static_argnames=(
         "width", "height", "spp_chunk", "max_bounces", "rr_start",
-        "differentiable",
+        "differentiable", "remat",
     ),
 )
 def _render_chunk(
@@ -213,6 +222,7 @@ def _render_chunk(
     max_bounces: int,
     rr_start: Optional[int],
     differentiable: bool,
+    remat: Optional[str] = None,
 ):
     """Trace width*height*spp_chunk lanes; returns (sum_radiance (H*W,3), stats)."""
     pix = np.arange(width * height, dtype=np.uint32)
@@ -230,6 +240,7 @@ def _render_chunk(
         max_bounces=max_bounces,
         rr_start=rr_start,
         differentiable=differentiable,
+        remat=remat,
     )
 
 
@@ -636,6 +647,7 @@ def render_radiance(
             max_bounces=settings.max_bounces,
             rr_start=settings.russian_roulette_start,
             differentiable=settings.differentiable,
+            remat=settings.remat,
         )
         acc = acc + part
         total_segments = total_segments + stats.segments

@@ -331,3 +331,27 @@ def test_diff_cascade_matches_plain_scan(monkeypatch):
     monkeypatch.delenv("RPT_DIFF_CASCADE")
     jax.clear_caches()
     assert float(st2.occupancy[-1]) > 0
+
+
+def test_remat_settings_field_forces_retrace():
+    """RenderSettings.remat is a static jit argument: changing it must
+    retrace WITHOUT jax.clear_caches() (unlike the RPT_REMAT env
+    fallback, which a same-shape call never re-reads)."""
+    import dataclasses
+
+    params, scene, settings, target = _setup(spp=4, bounces=6)
+    outs = {}
+    for mode in (None, "mid", "names"):
+        s = dataclasses.replace(settings, remat=mode)
+        loss, grads = render_loss_and_grad(params, scene, s, KEY, target)
+        flat, _ = jax.flatten_util.ravel_pytree(grads)
+        outs[mode] = (float(loss), np.asarray(flat))
+    l0, g0 = outs[None]
+    for mode in ("mid", "names"):
+        l, g = outs[mode]
+        np.testing.assert_allclose(l, l0, rtol=1e-6)
+        np.testing.assert_allclose(g, g0, rtol=1e-3, atol=1e-7)
+    # the policies differ by f32 fusion rounding when actually traced
+    # separately — byte-identical outputs would mean a vacuous cache hit
+    assert not (np.array_equal(outs["mid"][1], g0)
+                and np.array_equal(outs["names"][1], g0))
