@@ -116,7 +116,7 @@ class ProjTables:
     cluster_bounds: jnp.ndarray = None
     # (n_pblocks, 6, 128): the same bounds laid out for the kernel's
     # vectorized (rays x clusters) slab test (VMEM, lane-padded with
-    # inverted boxes so padding clusters can never pass)
+    # degenerate far-point boxes so padding clusters can never pass)
     cluster_bounds_v: jnp.ndarray = None
     group_kinds: Tuple[int, ...] = dataclasses.field(
         default=(), metadata=dict(static=True)
@@ -298,15 +298,26 @@ def build_projected(kind, aux, data, mat, mats=None, texs=None,
     nonempty = (glo <= ghi).all(axis=1, keepdims=True)
     glo = np.where(nonempty, glo - pad, glo)
     ghi = np.where(nonempty, ghi + pad, ghi)
+    # All-padding groups become DEGENERATE POINT boxes at +1e30, NOT
+    # inverted (+1e30, -1e30) boxes: every slab test in this codebase
+    # sorts the planes per axis (lo=max(lo,min(b0,b1)), ...), which
+    # turns an inverted box into an UNBOUNDED one that passes for every
+    # ray — silently defeating the kernel skip hierarchy and the
+    # cluster binning key on streaming scenes whose padded column
+    # count is not a COL_BLOCK multiple.  A point at 1e30 fails the
+    # sorted test for any real ray (per-axis entry times differ) and
+    # sits beyond any real entry t for the binning argmin.
+    glo = np.where(nonempty, glo, 1.0e30)
+    ghi = np.where(nonempty, ghi, 1.0e30)
     cb = np.concatenate([glo, ghi], axis=1).T  # (6, C/GROUP)
 
-    # kernel layout: per p-block, lane-padded to 128 with inverted boxes
+    # kernel layout: per p-block, lane-padded to 128 with the same
+    # degenerate-point padding boxes
     n_pblocks = C // col_block
     ngrp = col_block // GROUP
     gpad = _pad_up(ngrp, 128)
     cbv = np.empty((n_pblocks, 6, gpad), np.float64)
-    cbv[:, 0:3, :] = 1.0e30   # lo = +inf
-    cbv[:, 3:6, :] = -1.0e30  # hi = -inf -> padding never passes
+    cbv[:, :, :] = 1.0e30  # lo = hi = far point -> padding never passes
     for b in range(n_pblocks):
         cbv[b, :, :ngrp] = cb[:, b * ngrp:(b + 1) * ngrp]
 
@@ -486,7 +497,8 @@ def _kernel(group_kinds, t_min, n_pblocks, col_block, super_groups,
 
     # vectorized slab test, every cluster of this p-block at once
     # (bvh.rs:18-35 semantics): cbv_ref is (1, 6, GPAD) with padding
-    # clusters carrying inverted boxes, so they can never pass
+    # clusters carrying degenerate far-point boxes that fail the
+    # sorted slab test for any real ray
     cbv = cbv_ref[0]  # (6, GPAD)
     lo = jnp.full((rays.shape[0], cbv.shape[1]), t_min, jnp.float32)
     hi = jnp.full((rays.shape[0], cbv.shape[1]), T_MISS, jnp.float32)
@@ -590,7 +602,7 @@ def _kernel(group_kinds, t_min, n_pblocks, col_block, super_groups,
                 sweep_group(chunk[0])
                 continue
             # test the contiguous column span (padding groups inside it
-            # carry inverted boxes, so they can never force a sweep)
+            # carry far-point boxes, so they can never force a sweep)
             g_lo, g_hi = chunk[0], chunk[-1] + 1
             super_any = jnp.any(
                 jnp.minimum(hi[:, g_lo:g_hi], tb_ref[:])

@@ -89,7 +89,7 @@ def build_pair_worklist(cluster_bounds, group_kinds, o, d, t_min, rb, kcap):
     """Per-block cluster slot table.
 
     cluster_bounds: (6, G) per-cluster AABBs (padding clusters carry
-    inverted boxes and never pass).  o, d: (Rp, 3) with Rp % rb == 0.
+    degenerate far-point boxes and never pass).  o, d: (Rp, 3) with Rp % rb == 0.
     Returns (meta (2, W) int32, overflow bool) with
     W = (Rp/rb) * min(kcap, G); slot rows are [cluster id (clamped),
     prim kind (-1 = empty slot)], clusters ascending within a block.

@@ -364,3 +364,59 @@ def test_super_cluster_size_invariance():
     for t, c in outs[1:]:
         np.testing.assert_array_equal(c, outs[0][1])
         np.testing.assert_array_equal(t, outs[0][0])
+
+
+def test_padding_groups_fail_slab_and_binning():
+    """Streaming tables pad the column count to COL_BLOCK multiples
+    with whole -1 groups.  Their AABBs must be DEGENERATE FAR POINTS,
+    not inverted boxes: every slab test here sorts the planes per
+    axis, which turns an inverted box into an unbounded always-pass
+    one — silently defeating the kernel skip hierarchy and sending
+    every miss/outside ray to a bogus padding bin (review finding,
+    round 2)."""
+    import numpy as np
+
+    from rust_pathtracer_tpu.ops.projected import (
+        build_projected,
+        closest_hit_projected,
+        closest_hit_projected_ref,
+        cluster_entry_key,
+    )
+    from rust_pathtracer_tpu.scene.builder import SceneBuilder
+
+    rng = np.random.default_rng(7)
+    b = SceneBuilder()
+    m = b.lambertian((0.5, 0.5, 0.5))
+    for p in rng.uniform(-10, 10, (700, 3)):
+        b.add_sphere(tuple(p), 0.08, m)
+    pr = b.build(use_bvh=False).prims
+    tab = build_projected(
+        np.asarray(pr.kind), np.asarray(pr.aux), np.asarray(pr.data),
+        np.asarray(pr.mat), max_single_cols=256,  # force streaming
+    )
+    gk = np.asarray(tab.group_kinds)
+    assert (gk == -1).sum() > 0  # the case under test
+    cb = np.asarray(tab.cluster_bounds)
+    assert not ((cb[0] > cb[3]) | (cb[1] > cb[4]) | (cb[2] > cb[5])).any()
+
+    # rays pointing away from everything must bin to the miss key G,
+    # never to a padding cluster
+    G = cb.shape[1]
+    o = jnp.full((128, 3), 40.0, jnp.float32)
+    d = jnp.asarray(rng.normal(size=(128, 3)) + 5.0, jnp.float32)
+    key = np.asarray(cluster_entry_key(tab.cluster_bounds, o, d, 1e-3))
+    assert (key == G).all()
+
+    # hitting rays bin only to real clusters; kernel == ref on the
+    # padded streaming table
+    o2 = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 30.0]), (256, 3))
+    d2 = jnp.asarray(rng.normal(size=(256, 3)) * [1, 1, 0.2] - [0, 0, 3],
+                     jnp.float32)
+    k2 = np.asarray(cluster_entry_key(tab.cluster_bounds, o2, d2, 1e-3))
+    real = set(np.where(gk != -1)[0].tolist()) | {G}
+    assert set(np.unique(k2).tolist()).issubset(real)
+    h1, _, p1 = closest_hit_projected(tab, o2, d2, 1e-3, interpret=True)
+    h2, _, p2 = closest_hit_projected_ref(tab, o2, d2, 1e-3)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    hm = np.asarray(h1)
+    np.testing.assert_array_equal(np.asarray(p1)[hm], np.asarray(p2)[hm])
