@@ -200,6 +200,23 @@ def search_and_record(scene, o, d, alive, differentiable=False):
     return hit_mask, rec, shade_row, cluster
 
 
+def cluster_octant_perm(d, alive, cluster):
+    """Permutation sorting lanes by (last-hit cluster, direction
+    octant), dead lanes last.  Shared by the chunked reorder below and
+    the regen wavefront (wavefront.py) so the key layout and the
+    lax.sort-pairs workaround (jnp.argsort at 1M lanes wedges the
+    remote TPU compile service) live in one place."""
+    iota = jnp.arange(alive.shape[0], dtype=jnp.int32)
+    octant = (
+        (d[:, 0] < 0).astype(jnp.int32) * 4
+        + (d[:, 1] < 0).astype(jnp.int32) * 2
+        + (d[:, 2] < 0).astype(jnp.int32)
+    )
+    key = jnp.where(alive, cluster * 8 + octant, np.int32(2 ** 30))
+    _, perm = jax.lax.sort((key, iota), num_keys=1)
+    return perm
+
+
 def _reorder_wavefront(state, bounce):
     """Sort the live wavefront by (previous-hit cluster, direction
     octant) so the projected kernel's per-block cluster culling sees
@@ -216,17 +233,7 @@ def _reorder_wavefront(state, bounce):
     ModelTest to coherence decay, so the threshold must stay low).
     """
     def do_sort(s):
-        d, alive, cluster = s["d"], s["alive"], s["cluster"]
-        iota = jnp.arange(alive.shape[0], dtype=jnp.int32)
-        octant = (
-            (d[:, 0] < 0).astype(jnp.int32) * 4
-            + (d[:, 1] < 0).astype(jnp.int32) * 2
-            + (d[:, 2] < 0).astype(jnp.int32)
-        )
-        key = jnp.where(alive, cluster * 8 + octant, np.int32(2 ** 30))
-        # lax.sort pairs, NOT jnp.argsort (argsort at 1M lanes wedged
-        # the remote TPU compile service; key/value sort runs in ~7 ms)
-        _, perm = jax.lax.sort((key, iota), num_keys=1)
+        perm = cluster_octant_perm(s["d"], s["alive"], s["cluster"])
         return {
             k: (v if k in ("segments", "occupancy") else v[perm])
             for k, v in s.items()

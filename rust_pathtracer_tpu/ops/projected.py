@@ -382,6 +382,14 @@ def _group_q_sphere(O0, D0, K, onorm, odot, dnorm, t_min):
     removes the two per-pair divisions of the t-domain formula (the
     dominant VPU cost of the sphere sweep).  Returns q with T_MISS
     sentinel where invalid.
+
+    Boundary semantics: the root acceptance test ``q >= fl(t_min*|d|^2)``
+    can round differently from the t-domain ``fl(q/|d|^2) >= t_min``
+    used by the brute path (ops/intersect), so a root within ~1 ulp of
+    t_min may be accepted by one family and rejected by the other.
+    Kernel and ref in THIS module share this function, so the
+    "Pallas == jnp projected ref" exactness contract is unaffected;
+    projected-vs-brute agreement is statistical (module docstring).
     """
     k0 = K[0:1]
     tmin_a = t_min * dnorm  # (R, 1)

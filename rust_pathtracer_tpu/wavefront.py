@@ -67,6 +67,7 @@ def render_radiance_regen(
     width, height = settings.width, settings.height
     spp = settings.samples_per_pixel
     max_bounces = settings.max_bounces
+    rr_start = settings.russian_roulette_start
     npix = width * height
     total = npix * spp
     if lanes is None:
@@ -77,6 +78,14 @@ def render_radiance_regen(
     if flush_every is None:
         flush_every = int(os.environ.get("RPT_FLUSH_EVERY", 4))
     flush_every = max(1, flush_every)
+    if total >= 2 ** 31:
+        # work ids / the issued counter are int32 (the queue handout is
+        # a cumsum over lanes); the chunked renderer handles any total
+        # via uint32 (pixel, sample) counters and spp chunking
+        raise ValueError(
+            f"regen wavefront work queue is int32-indexed: width*height*"
+            f"spp = {total} >= 2**31; use render_radiance for this size"
+        )
     bg = jnp.asarray(settings.background, jnp.float32)
 
     def spawn(work_id):
@@ -129,15 +138,9 @@ def render_radiance_regen(
         so the projected kernel sees cluster-homogeneous ray blocks
         (see integrator._reorder_wavefront; lanes carry their pixel /
         RNG key / accumulator, so the estimator is unchanged)."""
-        d, alive, cluster = s["d"], s["alive"], s["cluster"]
-        iota = jnp.arange(lanes, dtype=jnp.int32)
-        octant = (
-            (d[:, 0] < 0).astype(jnp.int32) * 4
-            + (d[:, 1] < 0).astype(jnp.int32) * 2
-            + (d[:, 2] < 0).astype(jnp.int32)
-        )
-        key_ = jnp.where(alive, cluster * 8 + octant, np.int32(2 ** 30))
-        _, perm = jax.lax.sort((key_, iota), num_keys=1)
+        from rust_pathtracer_tpu.integrator import cluster_octant_perm
+
+        perm = cluster_octant_perm(s["d"], s["alive"], s["cluster"])
         return {
             k: (v if k in _scalar_keys else v[perm]) for k, v in s.items()
         }
@@ -146,7 +149,13 @@ def render_radiance_regen(
         """One bounce for the live lanes; finished lanes hold their
         radiance (alive=False, work kept) until the next flush."""
         if reorder:
-            s = reorder_lanes(s)
+            # gate like integrator._reorder_wavefront: camera rays at
+            # iteration 0 are already pixel-coherent, and during the
+            # final drain (queue empty, occupancy collapsing) sorting
+            # the full pool costs more than the coherence buys
+            n_alive = jnp.sum(s["alive"].astype(jnp.int32))
+            want = (s["iters"] > 0) & (n_alive * 64 > lanes)
+            s = jax.lax.cond(want, reorder_lanes, lambda x: x, s)
         o, d, thr, rad = s["o"], s["d"], s["thr"], s["rad"]
         alive, depth, lkeys = s["alive"], s["depth"], s["lkeys"]
         segments = s["segments"] + jnp.sum(alive.astype(jnp.float32))
@@ -168,11 +177,27 @@ def render_radiance_regen(
             sampling.bounce_keys(lkeys, depth, sampling.P_SCHLICK))
         sc = scatter(scene, rec, d, sphere_dir, ball_dir, coin, si)
 
+        depth_old = depth
         depth = depth + alive.astype(jnp.int32)
         cont = alive & hit_mask & sc.did_scatter & (depth < max_bounces)
         thr = jnp.where(cont[..., None], thr * sc.attenuation, thr)
         o = vm.where(cont, rec.point, o)
         d = vm.where(cont, sc.direction, d)
+
+        # Russian roulette, per-lane (depths differ in the regen pool):
+        # same RNG fold (lane key, path bounce index = depth_old) and
+        # same survive/compensate rule as the chunked path's roulette
+        # (integrator._bounce_step), so the estimator stays identical
+        if rr_start is not None:
+            p = jnp.clip(jnp.max(thr, axis=-1), 0.05, 1.0)
+            u = sampling.uniform(
+                sampling.bounce_keys(lkeys, depth_old, sampling.P_ROULETTE)
+            )
+            sel = cont & (depth_old >= rr_start)
+            survive = u < p
+            thr = jnp.where((sel & survive)[..., None],
+                            thr / p[..., None], thr)
+            cont = cont & (~sel | survive)
 
         out = dict(
             s, o=o, d=d, thr=thr, rad=rad, depth=depth, alive=cont,
@@ -208,11 +233,17 @@ def render_radiance_regen(
         rad = vm.where(take, jnp.zeros_like(s["rad"]), s["rad"])
         depth = jnp.where(take, 0, s["depth"])
         work = jnp.where(take, new_work, jnp.where(finished, -1, work))
-        return dict(
+        out = dict(
             s, work=work, pixel=pixel, lkeys=lkeys, o=o, d=d, thr=thr,
             rad=rad, depth=depth, alive=s["alive"] | take, issued=issued,
             acc=acc,
         )
+        if reorder:
+            # refilled lanes are fresh camera rays: drop the previous
+            # path's STALE cluster so the next reorder doesn't bin them
+            # by a scene region they no longer occupy
+            out["cluster"] = jnp.where(take, 0, s["cluster"])
+        return out
 
     def cond(s):
         # pending = finished-but-unflushed; loop runs until every path

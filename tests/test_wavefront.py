@@ -82,3 +82,25 @@ def test_regen_reorder_matches_chunked(monkeypatch):
     assert abs(float(st_c.segments) - float(st_r.segments)) < 1e-3
     np.testing.assert_allclose(a.mean(), b.mean(), rtol=2e-3)
     assert np.isclose(a, b, rtol=1e-2, atol=1e-2).mean() > 0.97
+
+
+def test_regen_russian_roulette_matches_chunked():
+    """Regen honors russian_roulette_start with the SAME per-path RNG
+    fold as the chunked roulette (integrator._bounce_step): identical
+    estimator, fewer segments than without RR.  (The regen path
+    silently IGNORED the setting before round 2's review.)"""
+    sd = get_scene("CornellBox")
+    scene = sd.build()
+    cam = sd.camera_at(0.0)
+    s = RenderSettings(20, 20, 12, 10, (0.0, 0.0, 0.0),
+                       russian_roulette_start=3)
+    a, sa = render_radiance(scene, cam, s, KEY)
+    b, sb = render_radiance_regen(scene, cam, s, KEY, lanes=1024)
+    a, b = np.asarray(a), np.asarray(b)
+    assert np.abs(a - b).mean() < 1e-5
+    assert np.abs(a - b).max() < 5e-3
+    assert abs(float(sa.segments) - float(sb.segments)) <= 0.001 * float(sa.segments)
+    # RR engaged: strictly fewer segments than the no-RR regen run
+    s_norr = dataclasses.replace(s, russian_roulette_start=None)
+    _, sb0 = render_radiance_regen(scene, cam, s_norr, KEY, lanes=1024)
+    assert float(sb.segments) < float(sb0.segments)
