@@ -2,8 +2,12 @@
 //
 // Behavioral contract matches ../scene/obj_loader.py (the python
 // fallback/oracle), which in turn mirrors the reference's tobj usage
-// (obj_model.rs:19-111): fan triangulation, the face's FIRST vertex
-// normal when present, MTL Kd/Ns/Ni/illum only.
+// (obj_model.rs:19-111): fan triangulation; the triangle normal is the
+// raw vn array indexed by the face's first vertex's POSITION index
+// (obj_model.rs:87-96 — tobj does not re-index with
+// single_index=false), gated on the file having any vn line; MTL
+// Kd/Ns/Ni/illum only, usemtl bound at the use site with re-declared
+// names appending + rebinding (tobj's name map).
 //
 // Two-phase C ABI for ctypes: open -> counts -> fill -> close.
 
@@ -28,10 +32,10 @@ struct Mtl {
 
 struct ObjData {
   std::vector<double> verts;     // 9 per tri
-  std::vector<double> normals;   // 3 per tri (first vertex's vn or 0)
+  std::vector<double> normals;   // 3 per tri (position-indexed vn or 0)
   std::vector<uint8_t> has_n;    // 1 per tri
   std::vector<int32_t> mat_idx;  // 1 per tri, -1 = none
-  std::vector<Mtl> mats;         // in first-use order
+  std::vector<Mtl> mats;         // in declaration order (per mtllib)
 };
 
 std::string dir_of(const std::string& path) {
@@ -40,22 +44,25 @@ std::string dir_of(const std::string& path) {
 }
 
 // materials keep DECLARATION order (the reference maps every declared
-// MTL material, used or not — obj_model.rs:28-50)
-void parse_mtl(const std::string& path, std::vector<std::string>* names,
-               std::map<std::string, Mtl>* defs) {
+// MTL material, used or not — obj_model.rs:28-50); one (name, Mtl)
+// entry per newmtl of THIS file, later duplicate names shadow earlier
+// ones within the file
+void parse_mtl(const std::string& path,
+               std::vector<std::pair<std::string, Mtl>>* out) {
   std::ifstream f(path);
   if (!f) return;
   std::string line, cur;
+  std::map<std::string, size_t> local;
   while (std::getline(f, line)) {
     std::istringstream ss(line);
     std::string tag;
     if (!(ss >> tag) || tag[0] == '#') continue;
     if (tag == "newmtl") {
       ss >> cur;
-      if (!defs->count(cur)) names->push_back(cur);
-      (*defs)[cur] = Mtl();
+      local[cur] = out->size();
+      out->emplace_back(cur, Mtl());
     } else if (!cur.empty()) {
-      Mtl& m = (*defs)[cur];
+      Mtl& m = (*out)[local[cur]].second;
       if (tag == "Kd") ss >> m.kd[0] >> m.kd[1] >> m.kd[2];
       else if (tag == "Ns") ss >> m.ns;
       else if (tag == "Ni") ss >> m.ni;
@@ -90,21 +97,10 @@ ObjData* parse_obj(const std::string& path) {
   auto* out = new ObjData();
   std::vector<double> positions;   // xyz
   std::vector<double> vnormals;    // xyz
-  std::vector<std::string> mtl_names;
-  std::map<std::string, Mtl> mtl_defs;
+  std::vector<int64_t> n_src;      // first-vertex POSITION index per tri
   std::map<std::string, int32_t> mat_ids;
   int32_t current_mat = -1;
   const std::string base = dir_of(path);
-
-  auto sync_materials = [&]() {
-    // register every declared material in declaration order
-    for (const auto& name : mtl_names) {
-      if (!mat_ids.count(name)) {
-        mat_ids[name] = static_cast<int32_t>(out->mats.size());
-        out->mats.push_back(mtl_defs[name]);
-      }
-    }
-  };
 
   std::string line;
   while (std::getline(f, line)) {
@@ -126,8 +122,15 @@ ObjData* parse_obj(const std::string& path) {
     } else if (tag == "mtllib") {
       std::string name;
       ss >> name;
-      parse_mtl(base + "/" + name, &mtl_names, &mtl_defs);
-      sync_materials();
+      // every declared material appends (tobj pushes per mtllib file);
+      // re-declared names REBIND for subsequent usemtl lines while
+      // earlier faces keep their old index
+      std::vector<std::pair<std::string, Mtl>> defs;
+      parse_mtl(base + "/" + name, &defs);
+      for (auto& kv : defs) {
+        mat_ids[kv.first] = static_cast<int32_t>(out->mats.size());
+        out->mats.push_back(kv.second);
+      }
     } else if (tag == "usemtl") {
       std::string name;
       ss >> name;
@@ -151,16 +154,25 @@ ObjData* parse_obj(const std::string& path) {
           continue;
         for (int64_t v : {v0, v1, v2})
           for (int a = 0; a < 3; ++a) out->verts.push_back(positions[3 * v + a]);
-        const int64_t n0 = corners[0].second;  // first vertex's normal
-        if (n0 >= 0 && n0 < nn) {
-          out->has_n.push_back(1);
-          for (int a = 0; a < 3; ++a) out->normals.push_back(vnormals[3 * n0 + a]);
-        } else {
-          out->has_n.push_back(0);
-          for (int a = 0; a < 3; ++a) out->normals.push_back(0.0);
-        }
+        n_src.push_back(v0);
         out->mat_idx.push_back(current_mat);
       }
+    }
+  }
+  // reference normal rule (obj_model.rs:87-96): index the raw vn array
+  // with the first vertex's POSITION index, gated on the file having
+  // any vn line; the FINAL vn count applies (tobj builds meshes after
+  // the whole file is parsed).  Where the reference would panic
+  // (position index beyond the vn count) we fall back to the
+  // geometric normal (has_n = 0).
+  const int64_t nn_final = static_cast<int64_t>(vnormals.size() / 3);
+  for (int64_t v0 : n_src) {
+    if (nn_final > 0 && v0 < nn_final) {
+      out->has_n.push_back(1);
+      for (int a = 0; a < 3; ++a) out->normals.push_back(vnormals[3 * v0 + a]);
+    } else {
+      out->has_n.push_back(0);
+      for (int a = 0; a < 3; ++a) out->normals.push_back(0.0);
     }
   }
   return out;

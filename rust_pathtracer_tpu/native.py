@@ -44,7 +44,12 @@ def _load():
         if _LIB is not None or _TRIED:
             return _LIB
         _TRIED = True
-        if not os.path.exists(_SO_PATH) and not _try_build():
+        # ALWAYS run the (incremental, instant when fresh) make: a
+        # stale .so would silently shadow source fixes while the
+        # python oracle has them.  The .so is untracked, so it is
+        # always a local build; only fall back to a pre-existing
+        # binary when the toolchain is unavailable.
+        if not _try_build() and not os.path.exists(_SO_PATH):
             return None
         try:
             lib = ctypes.CDLL(_SO_PATH)

@@ -25,7 +25,12 @@ import numpy as np
 
 
 def parse_mtl(path: str) -> Dict[str, dict]:
-    """Parse the subset of MTL the reference consumes: Kd, Ns, Ni, illum."""
+    """Parse the subset of MTL the reference consumes: Kd, Ns, Ni, illum.
+
+    Values round through f32 like the reference's tobj (f32 fields,
+    widened to f64 at material construction — obj_model.rs:34-46) and
+    the C++ parser's float fields."""
+    f32 = lambda x: float(np.float32(x))  # noqa: E731
     materials: Dict[str, dict] = {}
     cur: Optional[dict] = None
     if not os.path.exists(path):
@@ -42,11 +47,11 @@ def parse_mtl(path: str) -> Dict[str, dict]:
             elif cur is None:
                 continue
             elif tag == "Kd":
-                cur["kd"] = tuple(float(x) for x in parts[1:4])
+                cur["kd"] = tuple(f32(x) for x in parts[1:4])
             elif tag == "Ns":
-                cur["ns"] = float(parts[1])
+                cur["ns"] = f32(parts[1])
             elif tag == "Ni":
-                cur["ni"] = float(parts[1])
+                cur["ni"] = f32(parts[1])
             elif tag == "illum":
                 cur["illum"] = int(parts[1])
     return materials
@@ -55,17 +60,33 @@ def parse_mtl(path: str) -> Dict[str, dict]:
 def parse_obj(path: str):
     """Parse OBJ geometry.
 
-    Returns (vertices (T,3,3) f64, normals (T,3) f64 or None rows masked
-    by has_normal (T,), material names per triangle (list of str|None),
-    mtl file materials dict).
+    Semantics mirror the reference's tobj usage (single_index=false,
+    triangulate=true; obj_model.rs:19-111) and the C++ parser:
+
+    * normals: the reference indexes the RAW vn array with the face's
+      first vertex's POSITION index — mesh.normals[vertex_index0]
+      (obj_model.rs:87-96; tobj does not re-index with
+      single_index=false) — whenever the file has any vn line.  Faces
+      whose //vn annotations point elsewhere still get the
+      position-indexed normal, and faces written without //vn get one
+      too.  (Where the reference would panic — position index beyond
+      the vn count — we fall back to the geometric normal.)
+    * usemtl resolves against the materials loaded SO FAR (tobj binds
+      the name to an id at the use site); unknown names -> -1.
+      Re-declared names append a new material and rebind.
+    * triangles with out-of-range vertex indices are dropped.
+
+    Returns (vertices (T,3,3) f64, vn array (N,3) f64, first-vertex
+    POSITION index per triangle (T,), material index per triangle
+    (T,) into ``materials``, materials list of dicts).
     """
     positions: List[Tuple[float, float, float]] = []
     vnormals: List[Tuple[float, float, float]] = []
     tris: List[Tuple[int, int, int]] = []
-    tri_norm_idx: List[int] = []  # normal index of the face's first vertex, -1 if none
-    tri_mtl: List[Optional[str]] = []
-    materials: Dict[str, dict] = {}
-    current_mtl: Optional[str] = None
+    tri_mat: List[int] = []
+    materials: List[dict] = []
+    name_to_idx: Dict[str, int] = {}
+    current_mat = -1
 
     base = os.path.dirname(os.path.abspath(path))
     with open(path, "r") as f:
@@ -79,33 +100,38 @@ def parse_obj(path: str):
             elif tag == "vn":
                 vnormals.append(tuple(float(x) for x in parts[1:4]))
             elif tag == "mtllib":
-                materials.update(parse_mtl(os.path.join(base, parts[1])))
+                for name, mdef in parse_mtl(
+                    os.path.join(base, parts[1])
+                ).items():
+                    materials.append(mdef)
+                    name_to_idx[name] = len(materials) - 1
             elif tag == "usemtl":
-                current_mtl = parts[1]
+                current_mat = name_to_idx.get(parts[1], -1)
             elif tag == "f":
                 corners = []
+                nv = len(positions)
                 for vspec in parts[1:]:
-                    fields = vspec.split("/")
-                    vi = int(fields[0])
-                    vi = vi - 1 if vi > 0 else len(positions) + vi
-                    ni = -1
-                    if len(fields) >= 3 and fields[2]:
-                        n = int(fields[2])
-                        ni = n - 1 if n > 0 else len(vnormals) + n
-                    corners.append((vi, ni))
+                    vi = int(vspec.split("/")[0])
+                    corners.append(vi - 1 if vi > 0 else nv + vi)
                 # fan triangulation (tobj triangulate=true)
                 for i in range(1, len(corners) - 1):
-                    tris.append((corners[0][0], corners[i][0], corners[i + 1][0]))
-                    tri_norm_idx.append(corners[0][1])  # first vertex's normal
-                    tri_mtl.append(current_mtl)
+                    v0, v1, v2 = corners[0], corners[i], corners[i + 1]
+                    if not (0 <= v0 < nv and 0 <= v1 < nv and 0 <= v2 < nv):
+                        continue  # matches the C++ parser's drop rule
+                    tris.append((v0, v1, v2))
+                    tri_mat.append(current_mat)
 
     pos = np.asarray(positions, np.float64)
     verts = pos[np.asarray(tris, np.int64)] if tris else np.zeros((0, 3, 3))
-    norm_idx = np.asarray(tri_norm_idx, np.int64) if tris else np.zeros(0, np.int64)
+    v0_idx = (
+        np.asarray([t[0] for t in tris], np.int64)
+        if tris else np.zeros(0, np.int64)
+    )
+    mat_index = np.asarray(tri_mat, np.int32) if tris else np.zeros(0, np.int32)
     vns = (
         np.asarray(vnormals, np.float64) if vnormals else np.zeros((0, 3), np.float64)
     )
-    return verts, vns, norm_idx, tri_mtl, materials
+    return verts, vns, v0_idx, mat_index, materials
 
 
 def parse_obj_arrays(path: str, prefer_native: bool = True):
@@ -123,19 +149,18 @@ def parse_obj_arrays(path: str, prefer_native: bool = True):
         except ImportError:
             pass
 
-    verts, vns, norm_idx, tri_mtl, mtl_defs = parse_obj(path)
+    verts, vns, v0_idx, mat_index, materials = parse_obj(path)
     t = verts.shape[0]
-    names = list(mtl_defs)
-    materials = [mtl_defs[n] for n in names]
-    name_to_idx = {n: i for i, n in enumerate(names)}
-    mat_index = np.asarray(
-        [name_to_idx.get(m, -1) if m is not None else -1 for m in tri_mtl],
-        np.int32,
-    )
-    has_n = (norm_idx >= 0) & (norm_idx < vns.shape[0]) if t else np.zeros(0, bool)
+    # reference normal rule: position-indexed into the raw vn array,
+    # gated on the file having any vn (obj_model.rs:87-96); see
+    # parse_obj's docstring
+    if t and vns.shape[0]:
+        has_n = v0_idx < vns.shape[0]
+    else:
+        has_n = np.zeros(t, bool)
     normals = np.zeros((t, 3), np.float64)
     if vns.shape[0] and t:
-        normals[has_n] = vns[norm_idx[has_n]]
+        normals[has_n] = vns[v0_idx[has_n]]
     return verts, normals, has_n, mat_index, materials
 
 
@@ -152,14 +177,22 @@ def load_obj_into(builder, path: str, default_material: Optional[int] = None) ->
         if m["illum"] == 7:
             mat_ids.append(builder.dielectric(m["ni"]))
         elif m["illum"] == 5:
-            mat_ids.append(builder.metal(m["kd"], 1.0 / m["ns"]))
+            # Ns 0 -> fuzz inf, exactly like the reference's f64
+            # division (obj_model.rs:40); python's ZeroDivisionError
+            # must not abort the load
+            with np.errstate(divide="ignore"):
+                fuzz = float(np.float64(1.0) / np.float64(m["ns"]))
+            mat_ids.append(builder.metal(m["kd"], fuzz))
         else:
             mat_ids.append(builder.lambertian(m["kd"]))
-    missing = (
-        default_material
-        if default_material is not None
-        else builder.lambertian((0.2, 0.7, 0.2))  # obj_model.rs:82-84
-    )
+    if default_material is not None:
+        missing = default_material
+    elif (mat_index < 0).any() or not mat_ids:
+        # only materialize the reference's missing-material default
+        # when some triangle actually needs it (obj_model.rs:82-84)
+        missing = builder.lambertian((0.2, 0.7, 0.2))
+    else:
+        missing = 0  # unused: every triangle has a material
     mat_lut = np.asarray(mat_ids + [missing], np.int32)
     tri_mats = mat_lut[np.where(mat_index >= 0, mat_index, len(mat_ids))]
 

@@ -120,6 +120,11 @@ def test_native_obj_normals_and_neg_indices(tmp_path):
         )
     v, n, h, m, mats = parse_obj_arrays(p, prefer_native=True)
     assert v.shape == (2, 3, 3)
-    assert bool(h[0]) and not bool(h[1])
+    # reference normal rule (obj_model.rs:87-96): the raw vn array is
+    # indexed by the first vertex's POSITION index whenever the file
+    # has any vn line — so BOTH faces get vn[0] here (their first
+    # vertices are position 0), including the face written without //vn
+    assert bool(h[0]) and bool(h[1])
     assert np.allclose(n[0], [0, 0.70710678, 0.70710678])
+    assert np.allclose(n[1], [0, 0.70710678, 0.70710678])
     assert m.tolist() == [-1, -1] and mats == []
