@@ -207,14 +207,43 @@ def render_radiance_regen(
             out["cluster"] = jnp.where(hit_mask, _cl, 0)
         return out
 
+    # Flush variant (RPT_REGEN_FLUSH).  Measured on v5e (LightTest
+    # 512^2@256spp, flush_every=2, 95 windows): "scatter" (plain
+    # colliding scatter-add) 6.65 s vs "sorted" (key/value lax.sort +
+    # indices_are_sorted scatter) 7.08 s — the pre-sort costs ~5 ms/
+    # window and the sorted scatter saves nothing, so the plain
+    # scatter stays the default.  "none" skips accumulation entirely
+    # (BIASED — probe-only, for isolating the flush cost in
+    # tools/tpu_light.py decompositions).
+    flush_mode = os.environ.get("RPT_REGEN_FLUSH", "scatter")
+    if flush_mode not in ("scatter", "sorted", "none"):
+        raise ValueError(f"RPT_REGEN_FLUSH={flush_mode!r}")
+
+    def flush_radiance(acc, finished, pixel, rad):
+        if flush_mode == "none":
+            return acc
+        if flush_mode == "scatter":
+            return acc.at[jnp.where(finished, pixel, 0)].add(
+                jnp.where(finished[..., None], rad, 0.0)
+            )
+        # sorted: dead records key to npix (out of range) and are
+        # dropped by the scatter; is_stable so equal-pixel records
+        # accumulate in lane order on every compilation (same key ->
+        # same image, cross-platform)
+        pkey = jnp.where(finished, pixel, np.int32(npix))
+        r = jnp.where(finished[:, None], rad, 0.0)
+        pk2, r0, r1, r2 = jax.lax.sort(
+            (pkey, r[:, 0], r[:, 1], r[:, 2]), num_keys=1, is_stable=True
+        )
+        upd = jnp.stack([r0, r1, r2], axis=1)
+        return acc.at[pk2].add(upd, mode="drop", indices_are_sorted=True)
+
     def flush_refill(s):
-        """Scatter finished lanes' radiance into the accumulator and
+        """Flush finished lanes' radiance into the accumulator and
         hand each flushed lane the next queued (pixel, sample)."""
         alive, work = s["alive"], s["work"]
         finished = ~alive & (work >= 0)
-        acc = s["acc"].at[jnp.where(finished, s["pixel"], 0)].add(
-            jnp.where(finished[..., None], s["rad"], 0.0)
-        )
+        acc = flush_radiance(s["acc"], finished, s["pixel"], s["rad"])
 
         issued = s["issued"]
         cand = finished.astype(jnp.int32)
