@@ -48,13 +48,19 @@ t0 = time.perf_counter()
 img, stats = fn()
 m = float(img.mean())  # fetch = real sync
 print(f"warm {time.perf_counter() - t0:.1f}s mean={m:.6f}", flush=True)
-t0 = time.perf_counter()
-img, stats = fn()
-m = float(img.mean())
-dt = time.perf_counter() - t0
+# 3 timed reps: the remote tunnel's run-to-run noise (observed
+# 6.65 vs 9.99 s for the same graph in different processes) swamps
+# small deltas — report every rep and the minimum.
+reps = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    img, stats = fn()
+    m = float(img.mean())
+    reps.append(time.perf_counter() - t0)
 print(json.dumps({
-    "scene": "LightTest", "mode": tag, "frame_s": round(dt, 2),
+    "scene": "LightTest", "mode": tag,
+    "frame_s": round(min(reps), 2), "reps_s": [round(r, 2) for r in reps],
     "segments": float(stats.segments),
-    "Mrays_s": round(float(stats.segments) / dt / 1e6, 2),
+    "Mrays_s": round(float(stats.segments) / min(reps) / 1e6, 2),
     "mean": round(m, 6), "iters": int(stats.bounces),
 }), flush=True)
