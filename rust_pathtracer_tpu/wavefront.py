@@ -62,7 +62,7 @@ def render_radiance_regen(
     Returns ((H, W, 3) image, TraceStats).  Equivalent estimator to
     render_radiance (same per-path RNG); accumulation order differs.
     ``flush_every``: bounce iterations between flush+refill windows
-    (default 4; RPT_FLUSH_EVERY overrides).
+    (default 2, the measured v5e optimum; RPT_FLUSH_EVERY overrides).
     """
     width, height = settings.width, settings.height
     spp = settings.samples_per_pixel
@@ -75,8 +75,12 @@ def render_radiance_regen(
     lanes = int(min(lanes, total))
     if lanes <= 0:
         raise ValueError(f"lane pool must be positive, got {lanes}")
+    # default 2: measured on v5e LightTest 512^2@256spp — fe=1 9.56 s
+    # (refill machinery every iteration), fe=2 6.15 s, fe=4 26.9 s
+    # (finished lanes idle up to 3 iterations; 312 loop iterations vs
+    # 190 at fe=2)
     if flush_every is None:
-        flush_every = int(os.environ.get("RPT_FLUSH_EVERY", 4))
+        flush_every = int(os.environ.get("RPT_FLUSH_EVERY", 2))
     flush_every = max(1, flush_every)
     if total >= 2 ** 31:
         # work ids / the issued counter are int32 (the queue handout is
