@@ -47,11 +47,13 @@ def main():
     # "cascade:<schedule>" uses the one-jit static cascade (render.py
     # _render_chunk_cascaded_static; estimator-exact, occupancy[-1]
     # asserted zero below).  Measured round 2 on v5e: LightTest regen
-    # flush_every=2 = 7.4 s with NO RR (vs 19.5 s chunked+rr8 round 1,
-    # same mean); SphereField 1M-lane chunk 0.928 -> 0.281 s via
-    # cascade "5:8,9:64" + RR@4; ModelTest chunk 0.865 (chunked) ->
-    # 0.689 s via cascade "2:4,4:32,8:256" + RR@4 (occupancy is 8.6%
-    # by bounce 2).
+    # flush_every=2 = 6.15 s with NO RR (vs 19.5 s chunked+rr8 round
+    # 1, same mean); SphereField 1M-lane chunk 0.928 -> 0.228 s via
+    # cascade "2:2,3:3,4:5,5:10,9:80" + RR@4 (schedule sweep in
+    # tools/tpu_sf_sched.py: "5:8,9:64" 0.255, "2:2,4:4,5:8,9:64"
+    # 0.231; all means identical, overflow 0); ModelTest chunk 0.865
+    # (chunked) -> 0.689 s via cascade "2:4,4:32,8:256" + RR@4
+    # (occupancy is 8.6% by bounce 2).
     configs = [
         ("TwoSphereCheckers", {}, 400, 225, 64, 8, False, None, "chunked"),
         ("LightTest", {}, 512, 512, 256, 50, False, None, "regen"),
@@ -59,7 +61,7 @@ def main():
         ("ModelTest", {"obj_path": objp}, 512, 512, 256, 20, False, 4,
          "cascade:2:4,4:32,8:256"),
         ("SphereField", {}, 1280, 720, 512, 20, True, 4,
-         "cascade:5:8,9:64"),
+         "cascade:2:2,3:3,4:5,5:10,9:80"),
     ]
     key = jax.random.PRNGKey(0)
 
