@@ -52,14 +52,16 @@ def main():
     # cascade "2:2,3:3,4:5,5:10,9:80" + RR@4 (schedule sweep in
     # tools/tpu_sf_sched.py: "5:8,9:64" 0.255, "2:2,4:4,5:8,9:64"
     # 0.231; all means identical, overflow 0); ModelTest chunk 0.865
-    # (chunked) -> 0.689 s via cascade "2:4,4:32,8:256" + RR@4
-    # (occupancy is 8.6% by bounce 2).
+    # (chunked) -> 0.629 s via cascade "2:8,3:16,4:32,5:256" + RR@4
+    # (schedule sweep in tools/tpu_mt_sched.py: "2:4,4:32,8:256"
+    # 0.681, "2:4,3:8,4:32,5:256,8:1024" 0.636; occupancy 8.6% at
+    # bounce 2, 4.2% at 3, 1.7% at 4, 0.13% at 5 once RR@4 bites).
     configs = [
         ("TwoSphereCheckers", {}, 400, 225, 64, 8, False, None, "chunked"),
         ("LightTest", {}, 512, 512, 256, 50, False, None, "regen"),
         ("CornellBox", {}, 512, 512, 1024, 20, False, None, "chunked"),
         ("ModelTest", {"obj_path": objp}, 512, 512, 256, 20, False, 4,
-         "cascade:2:4,4:32,8:256"),
+         "cascade:2:8,3:16,4:32,5:256"),
         ("SphereField", {}, 1280, 720, 512, 20, True, 4,
          "cascade:2:2,3:3,4:5,5:10,9:80"),
     ]

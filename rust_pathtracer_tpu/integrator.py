@@ -217,9 +217,25 @@ def cluster_octant_perm(d, alive, cluster):
     return perm
 
 
-def _reorder_wavefront(state, bounce):
-    """Sort the live wavefront by (previous-hit cluster, direction
-    octant) so the projected kernel's per-block cluster culling sees
+def reorder_perm(scene, o, d, alive, cluster):
+    """The between-bounce reorder permutation: exact pass-set bitmask
+    sort (ops/projected.passset_perm; RPT_REORDER_KEY=passset, default)
+    or the round-2 (last-hit cluster, direction octant) proxy key
+    (RPT_REORDER_KEY=octant).  Shared by the chunked reorder below and
+    the regen wavefront (wavefront.py)."""
+    from rust_pathtracer_tpu.ops.projected import (
+        passset_perm,
+        use_passset_reorder,
+    )
+
+    if scene.proj is not None and use_passset_reorder():
+        return passset_perm(scene.proj, o, d, alive)
+    return cluster_octant_perm(d, alive, cluster)
+
+
+def _reorder_wavefront(scene, state, bounce):
+    """Sort the live wavefront by its cluster pass-set (reorder_perm)
+    so the projected kernel's per-block cluster culling sees
     homogeneous ray blocks — the TPU-native stand-in for the
     reference's per-ray BVH pruning (bvh.rs:106-126).  Dead lanes sort
     to the end, so whole blocks of them skip every sweep.  Per-lane
@@ -233,7 +249,7 @@ def _reorder_wavefront(state, bounce):
     ModelTest to coherence decay, so the threshold must stay low).
     """
     def do_sort(s):
-        perm = cluster_octant_perm(s["d"], s["alive"], s["cluster"])
+        perm = reorder_perm(scene, s["o"], s["d"], s["alive"], s["cluster"])
         return {
             k: (v if k in ("segments", "occupancy") else v[perm])
             for k, v in s.items()
@@ -247,7 +263,7 @@ def _reorder_wavefront(state, bounce):
 def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
                  differentiable=False, reorder=False):
     if reorder:
-        state = _reorder_wavefront(state, bounce)
+        state = _reorder_wavefront(scene, state, bounce)
         lane_keys = state["lkeys"]
     o, d, thr, rad = state["o"], state["d"], state["thr"], state["rad"]
     alive = state["alive"]
@@ -675,6 +691,24 @@ def trace_cascaded_static(scene, origins, directions, alive, lane_keys,
     overflow = zero_scalar
     bounces = jnp.int32(0)
     b0 = 0
+
+    from rust_pathtracer_tpu.ops.projected import (
+        passset_sort_keys,
+        use_passset_reorder,
+    )
+
+    use_passset = scene.proj is not None and use_passset_reorder()
+    if use_passset and stages:
+        # pre-sort the camera rays by pass-set: even pixel-coherent
+        # blocks carry a 2x union surplus (tools/passset_union.py:
+        # bounce-0 union 9.7 -> 4.8 of 80 on ModelTest)
+        keys = passset_sort_keys(scene.proj, state["o"], state["d"],
+                                 state["alive"])
+        iota0 = jnp.arange(R, dtype=jnp.int32)
+        perm0 = jax.lax.sort(keys + (iota0,), num_keys=len(keys) + 1)[-1]
+        state = {k: v[perm0] for k, v in state.items()}
+        lane = lane[perm0]
+        lk = lk[perm0]
     for b1, S in list(stages) + [(max_bounces, None)]:
         st, bd = trace_resume(
             scene, state["o"], state["d"], state["thr"], state["rad"],
@@ -692,17 +726,25 @@ def trace_cascaded_static(scene, origins, directions, alive, lane_keys,
         banked = banked.at[:W].add(
             jnp.where(st_alive[:, None], 0.0, st["rad"])
         )
-        if scene.proj is not None:
+        iota = jnp.arange(W, dtype=jnp.int32)
+        if use_passset:
+            # compact AND group by exact pass-set in one sort: the dead
+            # flag key puts live lanes first (the compaction contract),
+            # the bitmask words make the kept slice's ray blocks
+            # cluster-homogeneous for the next stage's sweeps
+            keys = passset_sort_keys(scene.proj, st["o"], st["d"], st_alive)
+            perm = jax.lax.sort(keys + (iota,), num_keys=len(keys) + 1)[-1]
+        elif scene.proj is not None:
             from rust_pathtracer_tpu.ops.projected import cluster_entry_key
 
             ckey = cluster_entry_key(
                 scene.proj.cluster_bounds, st["o"], st["d"], T_MIN
             )
+            skey = jnp.where(st_alive, ckey, np.int32(2 ** 30))
+            _, perm = jax.lax.sort((skey, iota), num_keys=1, is_stable=True)
         else:
-            ckey = jnp.zeros((W,), jnp.int32)
-        skey = jnp.where(st_alive, ckey, np.int32(2 ** 30))
-        iota = jnp.arange(W, dtype=jnp.int32)
-        _, perm = jax.lax.sort((skey, iota), num_keys=1, is_stable=True)
+            skey = jnp.where(st_alive, 0, np.int32(2 ** 30))
+            _, perm = jax.lax.sort((skey, iota), num_keys=1, is_stable=True)
         n_alive = jnp.sum(st_alive.astype(jnp.int32))
         overflow = overflow + jnp.maximum(n_alive - S, 0).astype(jnp.float32)
         state = dict(

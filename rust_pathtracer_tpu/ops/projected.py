@@ -759,6 +759,80 @@ def closest_hit_projected_binned(tables: ProjTables, o, d, t_min,
     return hit, t, pay
 
 
+def passset_perm(tables: ProjTables, o, d, alive, t_min=None):
+    """Permutation sorting lanes lexicographically by their EXACT
+    cluster pass-set bitmask (dead lanes last).
+
+    Every proxy reorder key tried in round 2 (entry cluster, last-hit
+    cluster, direction octant, Morton origin) plateaued 12-25x above
+    the per-ray culling ideal on diffuse bounces, because a 1024-ray
+    block mixes rays whose pass-sets barely overlap.  Sorting by the
+    pass-set ITSELF groups identical sets into the same blocks by
+    construction: measured on real ModelTest bounce-1 rays
+    (tools/passset_union.py), block-union work drops 3.1x vs the
+    production (cluster, octant) key (1727 -> 555 cluster sweeps;
+    union mean 27.0 -> 8.7 of 80, per-ray ideal 2.5).
+
+    Cost: one fused (R, G) slab test + bit-pack (~2 GFLOP and ~300 MB
+    of fused elementwise traffic at 1M lanes) + a (G/32+1)-key
+    lax.sort.  Per-ray hit results are independent of wavefront order
+    (the kernel's culling is conservative), and the iota tie-break key
+    makes the permutation fully deterministic.
+    """
+    keys = passset_sort_keys(tables, o, d, alive, t_min)
+    iota = jnp.arange(o.shape[0], dtype=jnp.int32)
+    out = jax.lax.sort(keys + (iota,), num_keys=len(keys) + 1)
+    return out[-1]
+
+
+def passset_sort_keys(tables: ProjTables, o, d, alive, t_min=None):
+    """Lexicographic sort keys (tuple of uint32 (R,) arrays) grouping
+    lanes by exact cluster pass-set, dead lanes strictly last.
+
+    Key 0 is the dead flag (so compaction slices can rely on live
+    lanes sorting first even when a live lane passes every cluster of
+    a G%32==0 scene, which would alias the all-ones dead marker in the
+    word keys); keys 1..n are the packed pass-set bitmask words.
+    Append an iota key for a fully deterministic permutation.
+    """
+    if t_min is None:
+        t_min = 1e-3
+    cb = tables.cluster_bounds  # (6, G)
+    G = cb.shape[1]
+    R = o.shape[0]
+    tiny = np.float32(1e-30)
+    dsafe = jnp.where(jnp.abs(d) < tiny, jnp.where(d < 0.0, -tiny, tiny), d)
+    inv_d = 1.0 / dsafe
+    lo = jnp.full((R, G), np.float32(t_min))
+    hi = jnp.full((R, G), T_MISS)
+    for ax in range(3):
+        b0 = (cb[ax][None, :] - o[:, ax:ax + 1]) * inv_d[:, ax:ax + 1]
+        b1 = (cb[3 + ax][None, :] - o[:, ax:ax + 1]) * inv_d[:, ax:ax + 1]
+        lo = jnp.maximum(lo, jnp.minimum(b0, b1))
+        hi = jnp.minimum(hi, jnp.maximum(b0, b1))
+    mask = (hi >= lo) & alive[:, None]
+    nwords = (G + 31) // 32
+    shifts = np.arange(32, dtype=np.uint32)
+    words = [(~alive).astype(jnp.uint32)]
+    for w in range(nwords):
+        bits = mask[:, w * 32:(w + 1) * 32]
+        weights = (np.uint32(1) << shifts[: bits.shape[1]])
+        word = jnp.sum(bits.astype(jnp.uint32) * weights[None, :], axis=1,
+                       dtype=jnp.uint32)
+        words.append(jnp.where(alive, word, jnp.uint32(0xFFFFFFFF)))
+    return tuple(words)
+
+
+def use_passset_reorder() -> bool:
+    """RPT_REORDER_KEY selects the between-bounce reorder key:
+    "passset" (default; exact pass-set bitmask sort above) or "octant"
+    (the round-2 (last-hit cluster, direction octant) proxy key) for
+    A/B measurement."""
+    import os
+
+    return os.environ.get("RPT_REORDER_KEY", "passset") != "octant"
+
+
 def use_wavefront_reorder(tables: ProjTables) -> bool:
     """Static routing: sort the wavefront by cluster between bounces
     when the scene has enough real clusters for homogeneous ray blocks

@@ -19,7 +19,12 @@ the occupancy win (LightTest 29.9 s regen vs 28.2 s chunked).  The loop
 now runs ``flush_every`` bounce iterations between flushes: finished
 lanes hold their radiance in registers (alive=False, work id kept)
 until the window ends, so the refill machinery runs 1/K as often at
-the cost of those lanes idling for at most K-1 iterations.
+the cost of those lanes idling for at most K-1 iterations.  K=2 is
+the measured optimum on v5e (clean idle-host reps, tools/tpu_light.py:
+fe=2 6.15 s/190 iters, fe=3 11.1 s/249, fe=4 8.9 s/312 — the extra
+idle-lane iterations cost more than the saved flushes; window
+decomposition in tools/tpu_spawnprobe.py: scatter 18.9 ms, spawn 3.8,
+cumsum 2.7; the bounce body itself is 9.8 ms, tools/tpu_ltprobe.py).
 
 RNG consistency: a work item's lane key is derived from the same
 (pixel * spp + sample) counter and per-(bounce, purpose) fold as the
@@ -142,9 +147,9 @@ def render_radiance_regen(
         so the projected kernel sees cluster-homogeneous ray blocks
         (see integrator._reorder_wavefront; lanes carry their pixel /
         RNG key / accumulator, so the estimator is unchanged)."""
-        from rust_pathtracer_tpu.integrator import cluster_octant_perm
+        from rust_pathtracer_tpu.integrator import reorder_perm
 
-        perm = cluster_octant_perm(s["d"], s["alive"], s["cluster"])
+        perm = reorder_perm(scene, s["o"], s["d"], s["alive"], s["cluster"])
         return {
             k: (v if k in _scalar_keys else v[perm]) for k, v in s.items()
         }
@@ -212,10 +217,12 @@ def render_radiance_regen(
         return out
 
     # Flush variant (RPT_REGEN_FLUSH).  Measured on v5e (LightTest
-    # 512^2@256spp, flush_every=2, 95 windows): "scatter" (plain
-    # colliding scatter-add) 6.65 s vs "sorted" (key/value lax.sort +
-    # indices_are_sorted scatter) 7.08 s — the pre-sort costs ~5 ms/
-    # window and the sorted scatter saves nothing, so the plain
+    # 512^2@256spp, flush_every=2, 95 windows, clean idle-host reps):
+    # "scatter" (plain colliding scatter-add) 6.15 s vs "sorted"
+    # (key/value lax.sort + indices_are_sorted scatter) 6.16 s — a
+    # wash in-pipeline even though the isolated microbench favors
+    # sorted 14.5 vs 18.6 ms (tools/tpu_scatter3.py; XLA overlaps the
+    # colliding scatter with the window's other work), so the plain
     # scatter stays the default.  "none" skips accumulation entirely
     # (BIASED — probe-only, for isolating the flush cost in
     # tools/tpu_light.py decompositions).

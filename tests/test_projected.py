@@ -420,3 +420,54 @@ def test_padding_groups_fail_slab_and_binning():
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
     hm = np.asarray(h1)
     np.testing.assert_array_equal(np.asarray(p1)[hm], np.asarray(p2)[hm])
+
+
+def test_passset_perm_properties():
+    """passset_perm (the round-2.5 reorder key): a valid permutation,
+    live lanes strictly before dead lanes, and live lanes grouped so
+    the packed pass-set keys are lexicographically nondecreasing —
+    identical pass-sets land in contiguous runs (the property that
+    collapses block-union sweep work; tools/passset_union.py)."""
+    from rust_pathtracer_tpu.ops.projected import (
+        passset_perm,
+        passset_sort_keys,
+    )
+
+    scene = _mixed_scene()
+    tables = build_projected(
+        scene.prims.kind, scene.prims.aux, scene.prims.data, scene.prims.mat
+    )
+    o, d = _rays(2048)
+    rng = np.random.default_rng(7)
+    alive = jnp.asarray(rng.random(2048) < 0.7)
+
+    perm = np.asarray(passset_perm(tables, o, d, alive))
+    assert sorted(perm.tolist()) == list(range(2048))
+
+    a = np.asarray(alive)[perm]
+    n_alive = int(a.sum())
+    assert a[:n_alive].all() and not a[n_alive:].any()
+
+    keys = [np.asarray(k)[perm] for k in passset_sort_keys(tables, o, d, alive)]
+    stacked = np.stack(keys, axis=1)[:n_alive]
+    for i in range(1, n_alive):
+        assert tuple(stacked[i - 1]) <= tuple(stacked[i])
+
+
+def test_passset_perm_full_mask_alias_safe():
+    """A live lane whose pass-set fills a whole 32-bit word must still
+    sort before dead lanes (the dead flag is a separate primary key,
+    so the all-ones word marker cannot demote it)."""
+    from rust_pathtracer_tpu.ops.projected import passset_sort_keys
+
+    scene = _mixed_scene()
+    tables = build_projected(
+        scene.prims.kind, scene.prims.aux, scene.prims.data, scene.prims.mat
+    )
+    o, d = _rays(64)
+    alive = jnp.asarray(np.array([True, False] * 32))
+    keys = passset_sort_keys(tables, o, d, alive)
+    dead_flag = np.asarray(keys[0])
+    np.testing.assert_array_equal(dead_flag, (~np.asarray(alive)).astype(np.uint32))
+    for w in keys[1:]:
+        assert (np.asarray(w)[~np.asarray(alive)] == 0xFFFFFFFF).all()

@@ -200,3 +200,40 @@ def test_cascade_auto_schedule():
                     0.0107, 0.0065] + [0.003] * 11) * (1 << 20)
     sched = _derive_cascade_schedule(occ, 1 << 20, 20)
     assert sched is not None and sched.startswith("4:2")
+
+
+def test_cascade_passset_key_matches_octant_key(monkeypatch):
+    """RPT_REORDER_KEY selects only the wavefront LAYOUT (pass-set
+    bitmask sort vs the (cluster, octant) proxy); per-lane radiance is
+    layout-independent, so the cascade image must be identical under
+    both keys — including a width-preserving "1:1" pseudo-boundary,
+    whose only job is the coherence re-sort before bounce 1."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    monkeypatch.setenv("RPT_PROJ_INTERPRET", "1")
+    sd = get_scene("SphereField")
+    scene = sd.build()
+    cam = sd.camera_at(0.0)
+    s = RenderSettings(32, 18, 4, 10, (1.0, 1.0, 1.0), spp_chunk=4,
+                       cascade=True, cascade_schedule="1:1,3:2,6:4")
+    imgs = {}
+    for key in ("passset", "octant"):
+        monkeypatch.setenv("RPT_REORDER_KEY", key)
+        # the env is read at trace time and the cascade jit is keyed
+        # only on shapes/statics — clear caches so the second key
+        # actually retraces (the vacuous-test trap of DESIGN §10)
+        jax.clear_caches()
+        img, st = render_radiance(scene, cam, s, jax.random.PRNGKey(0))
+        assert float(st.occupancy[-1]) == 0.0
+        imgs[key] = np.asarray(img)
+    np.testing.assert_array_equal(imgs["passset"], imgs["octant"])
+
+    # and both equal the plain chunked renderer
+    monkeypatch.delenv("RPT_REORDER_KEY", raising=False)
+    s0 = dataclasses.replace(s, cascade=False, cascade_schedule=None)
+    img0, _ = render_radiance(scene, cam, s0, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(imgs["passset"], np.asarray(img0),
+                               rtol=1e-6, atol=1e-6)

@@ -40,14 +40,22 @@ def _checksum(r):
     return float(sum(jnp.sum(jnp.abs(x.astype(jnp.float32))) for x in leaves))
 
 
-def timeit(tag, fn, *args, reps=5):
+def timeit(tag, fn, *args, reps=5, inner=10):
+    """min over ``reps`` of (``inner`` async dispatches + ONE fetch)/inner.
+
+    A per-dispatch fetch would add the ~25-30 ms tunnel round-trip to
+    every number (the first version of this tool did, inflating a
+    ~10 ms op to ~39 ms); queueing ``inner`` dispatches and ending the
+    timed region with a single checksum fetch amortizes it to ~3 ms.
+    """
     _checksum(fn(*args))
     best = None
     for _ in range(reps):
         t0 = time.perf_counter()
-        r = fn(*args)
+        for _ in range(inner):
+            r = fn(*args)
         _checksum(r)
-        dt = time.perf_counter() - t0
+        dt = (time.perf_counter() - t0) / inner
         best = dt if best is None else min(best, dt)
     print(json.dumps({"op": tag, "ms": round(best * 1e3, 2)}), flush=True)
 
