@@ -52,16 +52,22 @@ def main():
     # cascade "2:2,3:3,4:5,5:10,9:80" + RR@4 (schedule sweep in
     # tools/tpu_sf_sched.py: "5:8,9:64" 0.255, "2:2,4:4,5:8,9:64"
     # 0.231; all means identical, overflow 0); ModelTest chunk 0.865
-    # (chunked) -> 0.629 s via cascade "2:8,3:16,4:32,5:256" + RR@4
-    # (schedule sweep in tools/tpu_mt_sched.py: "2:4,4:32,8:256"
-    # 0.681, "2:4,3:8,4:32,5:256,8:1024" 0.636; occupancy 8.6% at
-    # bounce 2, 4.2% at 3, 1.7% at 4, 0.13% at 5 once RR@4 bites).
+    # (chunked) -> 0.629 via cascade "2:8,3:16,4:32,5:256" + RR@4
+    # -> 0.427 with the pass-set reorder key AND a pure-reorder "1:1"
+    # boundary at bounce 1 (groups secondary rays by exact pass-set
+    # before the bounce-1 sweep; octant-key control at the same
+    # schedule is 0.709 — the pass-set key is what pays; bounce-0
+    # pre-sort measured negative, gated off, see trace_cascaded_static;
+    # occupancy 8.6% at bounce 2, 4.2% at 3, 1.7% at 4, 0.13% at 5
+    # once RR@4 bites).  NOTE a "1:1" boundary HURTS SphereField
+    # (0.335 vs 0.226): its full-width stage costs ~100 ms and the
+    # 8-cluster unions cannot shrink.
     configs = [
         ("TwoSphereCheckers", {}, 400, 225, 64, 8, False, None, "chunked"),
         ("LightTest", {}, 512, 512, 256, 50, False, None, "regen"),
         ("CornellBox", {}, 512, 512, 1024, 20, False, None, "chunked"),
         ("ModelTest", {"obj_path": objp}, 512, 512, 256, 20, False, 4,
-         "cascade:2:8,3:16,4:32,5:256"),
+         "cascade:1:1,2:8,3:16,4:32,5:256"),
         ("SphereField", {}, 1280, 720, 512, 20, True, 4,
          "cascade:2:2,3:3,4:5,5:10,9:80"),
     ]

@@ -697,11 +697,17 @@ def trace_cascaded_static(scene, origins, directions, alive, lane_keys,
         use_passset_reorder,
     )
 
+    import os
+
     use_passset = scene.proj is not None and use_passset_reorder()
-    if use_passset and stages:
-        # pre-sort the camera rays by pass-set: even pixel-coherent
-        # blocks carry a 2x union surplus (tools/passset_union.py:
-        # bounce-0 union 9.7 -> 4.8 of 80 on ModelTest)
+    presort = use_passset and os.environ.get(
+        "RPT_CASCADE_PRESORT", "0") == "1"
+    if presort and stages:
+        # pre-sort the camera rays by pass-set (opt-in: the union drops
+        # 9.7 -> 4.8 of 80 on ModelTest camera rays,
+        # tools/passset_union.py, but measured on-chip the mask+sort
+        # cost outweighs it — v4's per-block culling already rides
+        # pixel coherence at bounce 0)
         keys = passset_sort_keys(scene.proj, state["o"], state["d"],
                                  state["alive"])
         iota0 = jnp.arange(R, dtype=jnp.int32)
