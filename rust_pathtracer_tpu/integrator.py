@@ -233,6 +233,67 @@ def reorder_perm(scene, o, d, alive, cluster):
     return cluster_octant_perm(d, alive, cluster)
 
 
+def reorder_keys(scene, o, d, alive, cluster):
+    """The reorder sort KEYS (tuple of (R,) arrays) behind
+    reorder_perm, for callers that apply the permutation via
+    sort_carry instead of gathers.  NOTE: appending an iota key to
+    these (as sort_carry does) yields exactly reorder_perm's order —
+    passset_perm already tie-breaks on iota, and the octant path's
+    single-key sort is made deterministic by it."""
+    from rust_pathtracer_tpu.ops.projected import (
+        passset_sort_keys,
+        use_passset_reorder,
+    )
+
+    if scene.proj is not None and use_passset_reorder():
+        return passset_sort_keys(scene.proj, o, d, alive)
+    octant = (
+        (d[:, 0] < 0).astype(jnp.int32) * 4
+        + (d[:, 1] < 0).astype(jnp.int32) * 2
+        + (d[:, 2] < 0).astype(jnp.int32)
+    )
+    return (jnp.where(alive, cluster * 8 + octant, np.int32(2 ** 30)),)
+
+
+def sort_carry(keys, arrays):
+    """Sort ``arrays`` by ``keys`` (+ an iota tie-break key) in ONE
+    lax.sort, carrying every payload word through the sort network.
+
+    On TPU, x[perm] row gathers at 1M rows run ~500x off HBM bandwidth
+    (~113 ms for a 19-column wavefront state), while the carried sort
+    costs ~37 ms INCLUDING the key sort itself
+    (tools/tpu_permgather.py).  The iota key makes the order unique,
+    so the result is bitwise identical to a stable perm-then-gather.
+
+    ``arrays``: list of (R,) or (R, k) arrays (k-column arrays are
+    carried as k separate words).  Returns the sorted arrays in the
+    same shapes/order.
+    """
+    R = arrays[0].shape[0]
+    iota = jnp.arange(R, dtype=jnp.int32)
+    cols, spec = [], []
+    for a in arrays:
+        if a.ndim == 1:
+            cols.append(a)
+            spec.append(None)
+        else:
+            k = a.shape[1]
+            cols.extend(a[:, j] for j in range(k))
+            spec.append(k)
+    out = jax.lax.sort(tuple(keys) + (iota,) + tuple(cols),
+                       num_keys=len(keys) + 1)
+    flat = list(out[len(keys) + 1:])
+    res, i = [], 0
+    for s in spec:
+        if s is None:
+            res.append(flat[i])
+            i += 1
+        else:
+            res.append(jnp.stack(flat[i:i + s], axis=1))
+            i += s
+    return res
+
+
 def _reorder_wavefront(scene, state, bounce):
     """Sort the live wavefront by its cluster pass-set (reorder_perm)
     so the projected kernel's per-block cluster culling sees
@@ -249,11 +310,12 @@ def _reorder_wavefront(scene, state, bounce):
     ModelTest to coherence decay, so the threshold must stay low).
     """
     def do_sort(s):
-        perm = reorder_perm(scene, s["o"], s["d"], s["alive"], s["cluster"])
-        return {
-            k: (v if k in ("segments", "occupancy") else v[perm])
-            for k, v in s.items()
-        }
+        keys = reorder_keys(scene, s["o"], s["d"], s["alive"], s["cluster"])
+        names = [k for k in s if k not in ("segments", "occupancy")]
+        sorted_vals = sort_carry(keys, [s[k] for k in names])
+        out = dict(s)
+        out.update(zip(names, sorted_vals))
+        return out
 
     n_alive = jnp.sum(state["alive"].astype(jnp.int32))
     want = (bounce > 0) & (n_alive * 64 > state["alive"].shape[0])
@@ -739,31 +801,50 @@ def trace_cascaded_static(scene, origins, directions, alive, lane_keys,
             # the bitmask words make the kept slice's ray blocks
             # cluster-homogeneous for the next stage's sweeps
             keys = passset_sort_keys(scene.proj, st["o"], st["d"], st_alive)
-            perm = jax.lax.sort(keys + (iota,), num_keys=len(keys) + 1)[-1]
         elif scene.proj is not None:
             from rust_pathtracer_tpu.ops.projected import cluster_entry_key
 
             ckey = cluster_entry_key(
                 scene.proj.cluster_bounds, st["o"], st["d"], T_MIN
             )
-            skey = jnp.where(st_alive, ckey, np.int32(2 ** 30))
-            _, perm = jax.lax.sort((skey, iota), num_keys=1, is_stable=True)
+            keys = (jnp.where(st_alive, ckey, np.int32(2 ** 30)),)
         else:
-            skey = jnp.where(st_alive, 0, np.int32(2 ** 30))
-            _, perm = jax.lax.sort((skey, iota), num_keys=1, is_stable=True)
+            keys = (jnp.where(st_alive, 0, np.int32(2 ** 30)),)
         n_alive = jnp.sum(st_alive.astype(jnp.int32))
         overflow = overflow + jnp.maximum(n_alive - S, 0).astype(jnp.float32)
-        state = dict(
-            o=st["o"][perm][:S], d=st["d"][perm][:S],
-            thr=st["thr"][perm][:S],
-            rad=jnp.where(st_alive[:, None], st["rad"], 0.0)[perm][:S],
-            alive=st_alive[perm][:S],
+        # ONE carried sort instead of perm + per-array gathers: x[perm]
+        # row gathers at 1M rows run ~500x off HBM bandwidth (113 ms
+        # for this state; tools/tpu_permgather.py), while carrying the
+        # 21 payload words through the sort network costs ~37 ms
+        # including the sort itself.  iota as the last KEY makes the
+        # order unique — identical to the previous stable-sort perm.
+        rad_m = jnp.where(st_alive[:, None], st["rad"], 0.0)
+        payload = (
+            st["o"][:, 0], st["o"][:, 1], st["o"][:, 2],
+            st["d"][:, 0], st["d"][:, 1], st["d"][:, 2],
+            st["thr"][:, 0], st["thr"][:, 1], st["thr"][:, 2],
+            rad_m[:, 0], rad_m[:, 1], rad_m[:, 2],
+            st_alive, lk[:, 0], lk[:, 1],
+            banked[:W, 0], banked[:W, 1], banked[:W, 2], lane[:W],
         )
-        # concatenate, NOT x.at[:W].set(x[:W][perm]) — the
-        # self-referencing update miscompiles in a fused jit
-        banked = jnp.concatenate([banked[:W][perm], banked[W:]], axis=0)
-        lane = jnp.concatenate([lane[:W][perm], lane[W:]], axis=0)
-        lk = lk[perm][:S]
+        out = jax.lax.sort(keys + (iota,) + payload,
+                           num_keys=len(keys) + 1)
+        (o0, o1, o2, d0, d1, d2, t0, t1, t2, r0, r1, r2,
+         al, k0, k1, bk0, bk1, bk2, ln) = out[len(keys) + 1:]
+        state = dict(
+            o=jnp.stack([o0, o1, o2], 1)[:S],
+            d=jnp.stack([d0, d1, d2], 1)[:S],
+            thr=jnp.stack([t0, t1, t2], 1)[:S],
+            rad=jnp.stack([r0, r1, r2], 1)[:S],
+            alive=al[:S],
+        )
+        # concatenate, NOT x.at[:W].set(...) — the self-referencing
+        # update miscompiles in a fused jit
+        banked = jnp.concatenate(
+            [jnp.stack([bk0, bk1, bk2], 1), banked[W:]], axis=0
+        )
+        lane = jnp.concatenate([ln, lane[W:]], axis=0)
+        lk = jnp.stack([k0, k1], 1)[:S]
         b0 = b1
     occ = occ.at[-1].add(overflow)
     _, r0, r1, r2 = jax.lax.sort(

@@ -143,16 +143,20 @@ def render_radiance_regen(
     _scalar_keys = ("issued", "acc", "segments", "iters")
 
     def reorder_lanes(s):
-        """Sort the lane pool by (last-hit cluster, direction octant)
-        so the projected kernel sees cluster-homogeneous ray blocks
-        (see integrator._reorder_wavefront; lanes carry their pixel /
-        RNG key / accumulator, so the estimator is unchanged)."""
-        from rust_pathtracer_tpu.integrator import reorder_perm
+        """Sort the lane pool by its reorder key (pass-set bitmask by
+        default) so the projected kernel sees cluster-homogeneous ray
+        blocks (see integrator._reorder_wavefront; lanes carry their
+        pixel / RNG key / accumulator, so the estimator is unchanged).
+        Applied via ONE carried sort — per-array x[perm] gathers at 1M
+        rows are ~3x slower (tools/tpu_permgather.py)."""
+        from rust_pathtracer_tpu.integrator import reorder_keys, sort_carry
 
-        perm = reorder_perm(scene, s["o"], s["d"], s["alive"], s["cluster"])
-        return {
-            k: (v if k in _scalar_keys else v[perm]) for k, v in s.items()
-        }
+        keys = reorder_keys(scene, s["o"], s["d"], s["alive"], s["cluster"])
+        names = [k for k in s if k not in _scalar_keys]
+        sorted_vals = sort_carry(keys, [s[k] for k in names])
+        out = dict(s)
+        out.update(zip(names, sorted_vals))
+        return out
 
     def bounce(s):
         """One bounce for the live lanes; finished lanes hold their
