@@ -772,11 +772,10 @@ def trace_cascaded_static(scene, origins, directions, alive, lane_keys,
         # pixel coherence at bounce 0)
         keys = passset_sort_keys(scene.proj, state["o"], state["d"],
                                  state["alive"])
-        iota0 = jnp.arange(R, dtype=jnp.int32)
-        perm0 = jax.lax.sort(keys + (iota0,), num_keys=len(keys) + 1)[-1]
-        state = {k: v[perm0] for k, v in state.items()}
-        lane = lane[perm0]
-        lk = lk[perm0]
+        names = list(state)
+        out = sort_carry(keys, [state[k] for k in names] + [lane, lk])
+        state = dict(zip(names, out[:len(names)]))
+        lane, lk = out[len(names)], out[len(names) + 1]
     for b1, S in list(stages) + [(max_bounces, None)]:
         st, bd = trace_resume(
             scene, state["o"], state["d"], state["thr"], state["rad"],

@@ -350,21 +350,27 @@ def _cascade_stage(scene, packed, background, banked, lane, *, b0, b1,
     else:
         ckey = jnp.zeros((W,), jnp.int32)
     skey = jnp.where(alive, ckey, np.int32(2 ** 30))
-    iota = jnp.arange(W, dtype=jnp.int32)
-    # is_stable so the permutation is identical across compilations
-    # (ties are common: every dead lane shares one key) — the fused
-    # one-jit chunk must match the stage-per-jit pipeline bitwise
-    _, perm = jax.lax.sort((skey, iota), num_keys=1, is_stable=True)
-    out = dict(
-        o=state["o"][perm], d=state["d"][perm], thr=state["thr"][perm],
-        rad=jnp.where(alive[:, None], state["rad"], 0.0)[perm],
-        alive=alive[perm], lkeys=packed["lkeys"][perm],
+    # ONE carried sort, not perm + per-array gathers (x[perm] row
+    # gathers at 1M rows are ~3x the carried-sort cost on TPU —
+    # tools/tpu_permgather.py).  sort_carry's iota tie-break key
+    # reproduces the previous stable permutation exactly (ties are
+    # common: every dead lane shares one key), so the fused one-jit
+    # chunk still matches the stage-per-jit pipeline bitwise.
+    from rust_pathtracer_tpu.integrator import sort_carry
+
+    rad_m = jnp.where(alive[:, None], state["rad"], 0.0)
+    (o_s, d_s, thr_s, rad_s, alive_s, lkeys_s, bank_s, lane_s) = sort_carry(
+        (skey,),
+        [state["o"], state["d"], state["thr"], rad_m, alive,
+         packed["lkeys"], banked[:W], lane[:W]],
     )
+    out = dict(o=o_s, d=d_s, thr=thr_s, rad=rad_s, alive=alive_s,
+               lkeys=lkeys_s)
     # concatenate, do NOT x.at[:W].set(x[:W][perm]): the self-referencing
     # update miscompiled inside a fused jit (lane stopped being a
     # permutation; XLA in-place DUS + gather aliasing hazard)
-    banked = jnp.concatenate([banked[:W][perm], banked[W:]], axis=0)
-    lane = jnp.concatenate([lane[:W][perm], lane[W:]], axis=0)
+    banked = jnp.concatenate([bank_s, banked[W:]], axis=0)
+    lane = jnp.concatenate([lane_s, lane[W:]], axis=0)
     n_alive = jnp.sum(alive.astype(jnp.int32))
     return (out, banked, lane, n_alive, state["segments"], b_done,
             state["occupancy"])
