@@ -56,7 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="compact the wavefront once occupancy collapses "
              "(estimator-exact).  Bare --cascade uses the dynamic "
              "host-synced boundaries; pass a static schedule like "
-             "5:8,9:64 (boundary:shrink,...) for the one-jit no-sync "
+             "5:8,9:64 (boundary:shrink,...; shrink may be a rational "
+             "like 16/11 to hug a fractional occupancy) for the one-jit "
+             "no-sync "
              "cascade (best for shallow-depth big scenes, e.g. "
              "SphereField; see docs/DESIGN.md §11)",
     )

@@ -390,21 +390,39 @@ def _cascade_boundaries(max_bounces):
 def parse_cascade_schedule(raw):
     """Parse a "b:s,b:s" schedule string into [(boundary, shrink)].
 
-    Raises ValueError with a readable message on malformed input
-    (non-integers, missing ':', non-increasing boundaries/shrinks) —
+    ``shrink`` is an integer divisor or a rational "num/den" (e.g.
+    "1:16/11" keeps 11/16 of the lanes — fractional occupancies like
+    ModelTest's 59%-alive bounce 1 don't fit power-of-two divisors;
+    the boundary's sort is paid either way, so the slice should hug
+    the live count).  Returned shrinks are Fractions; boundaries and
+    shrinks must both strictly increase.
+
+    Raises ValueError with a readable message on malformed input —
     the CLI validates at argument-parse time with this; the renderer
     helpers catch and fall back.
     """
+    from fractions import Fraction
+
     out = []
-    prev_b, prev_s = 0, 0
+    prev_b, prev_s = 0, Fraction(0)
     for part in raw.split(","):
         try:
             b_str, s_str = part.split(":")
-            b, s = int(b_str), int(s_str)
-        except ValueError:
+            b = int(b_str)
+            if "/" in s_str:
+                num, den = s_str.split("/")
+                s = Fraction(int(num), int(den))
+            else:
+                s = Fraction(int(s_str))
+        except (ValueError, ZeroDivisionError):
             raise ValueError(
-                f"cascade schedule entry {part!r} is not 'bounce:shrink'"
+                f"cascade schedule entry {part!r} is not 'bounce:shrink' "
+                "(shrink: int or num/den)"
             ) from None
+        if s < 1:
+            raise ValueError(
+                f"cascade shrink must be >= 1, got {part!r}"
+            )
         if b <= prev_b:
             raise ValueError(
                 f"cascade boundaries must increase, got {raw!r}"
@@ -440,10 +458,13 @@ def _cascade_static_schedule(max_bounces, n_lanes, settings_schedule=None):
         return []
     out = []
     for b, shrink in pairs:
-        if not (b < max_bounces and n_lanes % shrink == 0
-                and n_lanes // shrink >= 1):
+        # exact width only (shrink is a Fraction): predictable slices,
+        # and integer divisors keep their historical widths bit-for-bit
+        num, den = shrink.numerator, shrink.denominator
+        if not (b < max_bounces and (n_lanes * den) % num == 0
+                and (n_lanes * den) // num >= 1):
             return []
-        out.append((b, n_lanes // shrink))
+        out.append((b, (n_lanes * den) // num))
     return out
 
 

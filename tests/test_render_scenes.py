@@ -154,6 +154,58 @@ def test_cascade_static_schedule():
         os.environ.pop("RPT_PROJ_INTERPRET", None)
 
 
+def test_cascade_rational_shrink():
+    """Rational shrinks ("1:8/7" keeps 7/8 of the lanes) slice at
+    fractional widths that integer divisors cannot reach (ModelTest's
+    59%-alive bounce 1).  Still estimator-exact: image equals the
+    plain chunked renderer, overflow stays zero, and the parser
+    rejects malformed or non-increasing rationals.
+
+    RPT_PROJ_INTERPRET is pinned for both renders: the 32x18 SF
+    programs may already sit in the jit cache traced under interpret
+    routing (test_cascade_static_schedule above), and interpret-vs-v4
+    t values differ in ulps — enough to steer paths apart, which is a
+    routing artifact, not a cascade bug."""
+    import dataclasses
+    import os
+
+    import pytest
+
+    from rust_pathtracer_tpu.render import parse_cascade_schedule
+
+    from fractions import Fraction
+
+    assert parse_cascade_schedule("1:8/7,6:4") == [
+        (1, Fraction(8, 7)), (6, Fraction(4))
+    ]
+    with pytest.raises(ValueError):
+        parse_cascade_schedule("1:7/8")  # shrink < 1
+    with pytest.raises(ValueError):
+        parse_cascade_schedule("1:3/0")
+    with pytest.raises(ValueError):
+        parse_cascade_schedule("1:8/7,2:9/8")  # shrinks must increase
+
+    os.environ["RPT_PROJ_INTERPRET"] = "1"
+    try:
+        sd = get_scene("SphereField")
+        scene = sd.build()
+        cam = sd.camera_at(0.0)
+        s = RenderSettings(32, 18, 4, 10, (1.0, 1.0, 1.0), spp_chunk=4)
+        img0, st0 = render_radiance(scene, cam, s, jax.random.PRNGKey(0))
+        # lanes = 2304; width at 8/7 = 2016 (87.5%, safe over ~68%
+        # alive after bounce 0), at 6:4 = 576 (25%, same slot as the
+        # test above)
+        s1 = dataclasses.replace(s, cascade=True,
+                                 cascade_schedule="1:8/7,6:4")
+        img1, st1 = render_radiance(scene, cam, s1, jax.random.PRNGKey(0))
+        assert float(st1.segments) == float(st0.segments)
+        assert float(st1.occupancy[-1]) == 0.0
+        np.testing.assert_allclose(np.asarray(img1), np.asarray(img0),
+                                   rtol=1e-6, atol=1e-6)
+    finally:
+        os.environ.pop("RPT_PROJ_INTERPRET", None)
+
+
 def test_cascade_static_multi_chunk():
     """Static cascade across MULTIPLE spp chunks (the judging frames
     run hundreds): per-chunk banking + unscramble must accumulate
