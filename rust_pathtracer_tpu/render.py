@@ -502,31 +502,32 @@ def _derive_cascade_schedule(occupancy, n_lanes, max_bounces, *,
     """Static cascade schedule from a measured occupancy histogram.
 
     ``occupancy[b]`` = lanes alive entering bounce b (one chunk).  For
-    each candidate boundary pick the largest power-of-2 shrink whose
-    slice still holds ``margin`` x the measured live count (and >=128
-    lanes); emit a boundary when the shrink first becomes >1, then
-    whenever it jumps >=4x, up to ``max_stages``.  Returns a
-    "b:s,b:s" string or None when no boundary pays.  The
+    each candidate boundary the slice width hugs ``margin`` x the
+    measured live count exactly (rounded up to a 128-lane multiple —
+    the TPU vector lane width; shrinks are emitted as rationals, see
+    parse_cascade_schedule).  A boundary is emitted when the width
+    first drops to <= half the pool, then whenever it drops another
+    >=4x, up to ``max_stages`` — each boundary costs a carried sort at
+    the PREVIOUS width, so small additional shrinks don't pay.
+    Returns a "b:s,b:s" string or None when no boundary pays.  The
     occupancy[-1] overflow guard still protects every chunk rendered
     with the derived schedule (keys differ chunk to chunk).
     """
+    from fractions import Fraction
+
     nb = min(int(max_bounces), len(occupancy) - 1)
     stages = []
-    cur = 1
+    cur = n_lanes
     for b in range(1, nb):
         alive = float(occupancy[b])
-        s = 1
-        while (
-            s * 2 <= 1024
-            and n_lanes % (s * 2) == 0
-            and n_lanes // (s * 2) >= 128
-            and n_lanes // (s * 2) >= margin * alive
-        ):
-            s *= 2
-        emit = s > 1 and (cur == 1 or s >= 4 * cur)
+        w = int(-(-max(margin * alive, 128.0) // 128.0) * 128)
+        emit = w <= (n_lanes // 2 if not stages else cur // 4)
         if emit and len(stages) < max_stages:
+            f = Fraction(n_lanes, w)
+            s = (str(f.numerator) if f.denominator == 1
+                 else f"{f.numerator}/{f.denominator}")
             stages.append(f"{b}:{s}")
-            cur = s
+            cur = w
     return ",".join(stages) if stages else None
 
 

@@ -251,7 +251,16 @@ def test_cascade_auto_schedule():
     occ = np.array([1.0, 0.66, 0.41, 0.287, 0.154, 0.043, 0.02,
                     0.0107, 0.0065] + [0.003] * 11) * (1 << 20)
     sched = _derive_cascade_schedule(occ, 1 << 20, 20)
-    assert sched is not None and sched.startswith("4:2")
+    assert sched is not None and sched.startswith("4:")
+    # widths hug 2.5x the live count (128-aligned rationals), resolve
+    # statically, and every slice holds the margin
+    from rust_pathtracer_tpu.render import _cascade_static_schedule
+
+    stages = _cascade_static_schedule(20, 1 << 20, sched)
+    assert stages, sched
+    for b, w in stages:
+        assert w % 128 == 0
+        assert 2.5 * occ[b] <= w < 2.5 * occ[b] + 128
 
 
 def test_cascade_passset_key_matches_octant_key(monkeypatch):
