@@ -20,6 +20,7 @@ backward at all).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -31,7 +32,10 @@ REFERENCE_CPU_RAYS_PER_SEC_ESTIMATE = 8.0e6
 WIDTH = HEIGHT = 512
 SPP_CHUNK = 4          # 512*512*4 = ~1M lanes per wavefront
 MAX_BOUNCES = 20       # CornellBox setting (scene.rs:337)
-REPS = 5
+REPS = 5               # steps per timed batch
+N_BATCHES = 5          # initial timed batches (median reported)
+MAX_BATCHES = 12       # extra batches drawn while spread > SPREAD_TOL
+SPREAD_TOL = 0.10      # (max-min)/median across batches
 
 
 def main():
@@ -87,16 +91,43 @@ def main():
         file=sys.stderr,
     )
 
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        (loss, segments), grads = step(params)
-    _ = grad_checksum(grads)
-    _ = float(loss)
-    dt = (time.perf_counter() - t0) / REPS
+    # Median-of-batches timing with a spread guard: the round-2 driver
+    # capture regressed 26% purely from host/tunnel load (a single
+    # 5-rep mean has no defense).  Each batch is REPS steps ended by a
+    # real device->host fetch; the reported number is the MEDIAN batch,
+    # and while the relative spread (max-min)/median exceeds
+    # SPREAD_TOL extra batches are drawn (noise shows up as a
+    # right-tail — the median converges to the unloaded time).
+    def one_batch():
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            (loss, segments), grads = step(params)
+        _ = grad_checksum(grads)
+        _ = float(loss)
+        return (time.perf_counter() - t0) / REPS
+
+    times = [one_batch() for _ in range(N_BATCHES)]
+    times.sort()
+
+    def spread(ts):
+        return (ts[-1] - ts[0]) / ts[len(ts) // 2]
+
+    while spread(times) > SPREAD_TOL and len(times) < MAX_BATCHES:
+        times.append(one_batch())
+        times.sort()
+    dt = times[len(times) // 2]
+
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        load1 = -1.0
 
     rays_per_sec = segs / dt
     print(
-        f"# fwd+bwd step: {dt * 1e3:.1f} ms for {segs:.0f} segments",
+        f"# fwd+bwd step: median {dt * 1e3:.1f} ms over {len(times)} "
+        f"batches of {REPS} (min {times[0]*1e3:.1f}, max {times[-1]*1e3:.1f},"
+        f" spread {spread(times)*100:.1f}%) for {segs:.0f} segments;"
+        f" load1={load1:.1f}",
         file=sys.stderr,
     )
 
@@ -131,6 +162,9 @@ def main():
                 "roofline_sol_fraction": round(rl["sol_fraction"], 3),
                 "structural_floor_ms": floor_ms,
                 "floor_fraction": round(floor_ms / (dt * 1e3), 3),
+                "timing_batches": len(times),
+                "timing_spread": round(spread(times), 4),
+                "host_load1": round(load1, 2),
             }
         )
     )
