@@ -105,7 +105,11 @@ def main(argv=None) -> int:
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
-    from rust_pathtracer_tpu.render import render_radiance
+    from rust_pathtracer_tpu.render import (
+        CascadeOverflowError,
+        derive_cascade_schedule,
+        render_radiance,
+    )
     from rust_pathtracer_tpu.utils.image import frame_path, to_rgb8, write_gif, write_png
     from rust_pathtracer_tpu.utils.metrics import (
         ProgressBar,
@@ -166,6 +170,33 @@ def main(argv=None) -> int:
     frames = args.frames if args.frames else sd.output.num_frames
     key = jax.random.PRNGKey(args.seed)
 
+    # animation + "auto": derive the cascade schedule ONCE (probe at
+    # the first frame's camera) and pin it — a per-frame re-derivation
+    # that wobbles one width would recompile the cascade graph
+    # (~6-12 min each on the remote TPU compile service).  The renderer
+    # still guards every frame; CascadeOverflowError below re-derives
+    # at a doubled margin.  Mesh renders keep per-frame calibration
+    # (worst-shard occupancy needs the sharded chunk-0 run).
+    sticky_auto = (
+        settings.cascade_schedule == "auto"
+        and frames - args.frame_start > 1
+        and args.mesh is None
+    )
+    auto_margin = None
+    if sticky_auto:
+        from rust_pathtracer_tpu import render as render_mod
+
+        auto_margin = render_mod.AUTO_MARGIN
+        with timer.stage("schedule probe"):
+            sched = derive_cascade_schedule(
+                scene, sd.camera_at(args.frame_start / frames), settings, key
+            )
+        settings = dataclasses.replace(
+            settings, cascade_schedule=sched, cascade=sched is not None
+        )
+        if not args.quiet:
+            print(f"auto cascade schedule: {sched}", file=sys.stderr)
+
     mesh = None
     if args.mesh:
         from rust_pathtracer_tpu.parallel import make_mesh
@@ -196,26 +227,25 @@ def main(argv=None) -> int:
             ckpt_path = args.checkpoint
             if ckpt_path and frames > 1:
                 ckpt_path = f"{ckpt_path}.frame{frame:04d}"
-            t0 = time.perf_counter()
-            with timer.stage("render"):
+            def render_one(settings):
                 if mesh is not None and ckpt_path:
                     from rust_pathtracer_tpu.utils.checkpoint import (
                         render_radiance_sharded_checkpointed,
                     )
 
-                    img, stats = render_radiance_sharded_checkpointed(
+                    return render_radiance_sharded_checkpointed(
                         scene, cam, settings, key, mesh, ckpt_path
                     )
                 elif mesh is not None:
                     from rust_pathtracer_tpu.parallel import render_radiance_sharded
 
-                    img, stats = render_radiance_sharded(
+                    return render_radiance_sharded(
                         scene, cam, settings, key, mesh
                     )
                 elif args.regen:
                     from rust_pathtracer_tpu.wavefront import render_radiance_regen
 
-                    img, stats = render_radiance_regen(
+                    return render_radiance_regen(
                         scene, cam, settings, key, lanes=args.lanes
                     )
                 elif ckpt_path:
@@ -223,11 +253,37 @@ def main(argv=None) -> int:
                         render_radiance_checkpointed,
                     )
 
-                    img, stats = render_radiance_checkpointed(
+                    return render_radiance_checkpointed(
                         scene, cam, settings, key, ckpt_path
                     )
-                else:
-                    img, stats = render_radiance(scene, cam, settings, key)
+                return render_radiance(scene, cam, settings, key)
+
+            t0 = time.perf_counter()
+            with timer.stage("render"):
+                while True:
+                    try:
+                        img, stats = render_one(settings)
+                        break
+                    except CascadeOverflowError as e:
+                        # a pinned auto schedule went stale (the
+                        # camera moved): re-derive at a doubled margin
+                        # and retry the frame; explicit schedules fail
+                        # loudly (never a silently darkened image)
+                        if not sticky_auto:
+                            raise
+                        auto_margin *= 2.0
+                        print(
+                            f"frame {frame}: {e}\nre-deriving at "
+                            f"margin {auto_margin:g}",
+                            file=sys.stderr,
+                        )
+                        sched = derive_cascade_schedule(
+                            scene, cam, settings, key, margin=auto_margin
+                        )
+                        settings = dataclasses.replace(
+                            settings, cascade_schedule=sched,
+                            cascade=sched is not None,
+                        )
                 img.block_until_ready()
             metrics.wall_seconds += time.perf_counter() - t0
             metrics.segments += float(stats.segments)

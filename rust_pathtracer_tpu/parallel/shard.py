@@ -56,6 +56,7 @@ class ShardedChunkPlan:
         self.chunk = chunk = min(settings.resolve_chunk(), spp_shard)
         self.n_chunks = -(-spp_shard // chunk)
         pix_per_tile = npix_pad // n_tiles
+        self.lanes_per_shard = pix_per_tile * chunk
 
         bg = jnp.asarray(
             settings.background if background is None else background,
@@ -67,8 +68,9 @@ class ShardedChunkPlan:
         # (integrator.trace_cascaded_static), so each tile compacts its
         # own lanes with zero cross-shard communication; the
         # occupancy[-1] overflow guard psums across shards.  "auto" is
-        # single-chip-only (needs a calibration chunk) — explicit
-        # schedules only here.
+        # resolved by render_radiance_sharded (chunk-0 calibration with
+        # worst-shard pmax occupancy) BEFORE plan construction —
+        # explicit schedules only here.
         cascade_stages = None
         if not settings.differentiable and (
             settings.cascade or settings.cascade_schedule
@@ -81,17 +83,18 @@ class ShardedChunkPlan:
                 sched if sched != "auto" else None,
             )
             cascade_stages = tuple(st) if st else None
-            if cascade_stages is None:
+            if cascade_stages is None and sched != "auto":
                 import warnings
 
                 warnings.warn(
                     "sharded render: cascade requested but no "
                     "applicable STATIC schedule (dynamic boundaries "
-                    f"and 'auto' are single-chip-only; got "
+                    f"are single-chip-only; got "
                     f"{sched!r} for {pix_per_tile * chunk} lanes/"
                     "shard) — rendering the plain chunked path",
                     stacklevel=3,
                 )
+        self.cascade_stages = cascade_stages
 
         def tile_chunk(scene, cam, key, bg, c):
             # derive this device's pixel ids from its mesh coordinate —
@@ -129,19 +132,24 @@ class ShardedChunkPlan:
             occupancy = jax.lax.psum(
                 stats.occupancy, (SAMPLE_AXIS, TILE_AXIS)
             )
-            return acc, segments, bounces, occupancy
+            # worst-SHARD occupancy: the auto-schedule calibration
+            # needs per-shard live counts (slice widths are per shard),
+            # and tiles are heterogeneous (sky tiles die early)
+            occ_max = jax.lax.pmax(stats.occupancy, (SAMPLE_AXIS, TILE_AXIS))
+            return acc, segments, bounces, occupancy, occ_max
 
         self._run = jax.jit(jax.shard_map(
             tile_chunk,
             mesh=mesh,
             in_specs=(P(), P(), P(), P(), P()),
-            out_specs=(P(TILE_AXIS), P(), P(), P()),
+            out_specs=(P(TILE_AXIS), P(), P(), P(), P()),
         ))
 
     def run_chunk(self, c: int):
         """Trace sample-chunk ``c``; returns (acc (npix_pad, 3) sharded
-        over tiles, segments, bounces, occupancy) — acc is this chunk's
-        radiance SUM (already psum'd over the samples axis)."""
+        over tiles, segments, bounces, occupancy, occ_max) — acc is
+        this chunk's radiance SUM (already psum'd over the samples
+        axis); occ_max is the worst-shard occupancy histogram."""
         return self._run(*self._args, jnp.uint32(c))
 
     def finalize(self, acc, segments, bounces, occupancy):
@@ -152,6 +160,24 @@ class ShardedChunkPlan:
         return img, TraceStats(
             segments=segments, bounces=bounces, occupancy=occupancy
         )
+
+
+def _run_chunks(plan, first, totals=None):
+    """Run chunks [first, n_chunks) accumulating onto ``totals``
+    (acc, segments, bounces, occupancy) — totals=None starts fresh."""
+    acc = segments = bounces = occupancy = None
+    if totals is not None:
+        acc, segments, bounces, occupancy = totals
+    for c in range(first, plan.n_chunks):
+        a, s, b, o, _om = plan.run_chunk(c)
+        if acc is None:
+            acc, segments, bounces, occupancy = a, s, b, o
+        else:
+            acc = acc + a
+            segments = segments + s
+            bounces = bounces + b  # sum over chunks (matches render.py)
+            occupancy = occupancy + o
+    return acc, segments, bounces, occupancy
 
 
 def render_radiance_sharded(
@@ -165,16 +191,77 @@ def render_radiance_sharded(
     """Distributed render; returns ((H, W, 3) radiance, TraceStats).
 
     The image lives sharded over ``tiles`` until the final host gather.
+
+    Static-cascade safety mirrors render.py: an explicit schedule that
+    drops live lanes (psum'd occupancy[-1] > 0) raises
+    CascadeOverflowError; cascade_schedule="auto" calibrates on
+    chunk 0 (plain path, worst-shard pmax occupancy -> per-shard
+    widths), renders the rest cascaded, and auto-widens + re-renders
+    on overflow.
     """
-    plan = ShardedChunkPlan(scene, cam, settings, key, mesh, background)
-    acc = segments = bounces = occupancy = None
-    for c in range(plan.n_chunks):
-        a, s, b, o = plan.run_chunk(c)
-        if acc is None:
-            acc, segments, bounces, occupancy = a, s, b, o
-        else:
-            acc = acc + a
-            segments = segments + s
-            bounces = bounces + b  # sum over chunks (matches render.py)
-            occupancy = occupancy + o
-    return plan.finalize(acc, segments, bounces, occupancy)
+    import dataclasses
+    import warnings
+
+    from rust_pathtracer_tpu.render import (
+        AUTO_MARGIN,
+        CascadeOverflowError,
+        _derive_cascade_schedule,
+        _maybe_prepend_reorder,
+    )
+
+    auto = (
+        settings.cascade_schedule == "auto"
+        and not settings.differentiable
+    )
+    if not auto:
+        plan = ShardedChunkPlan(scene, cam, settings, key, mesh, background)
+        totals = _run_chunks(plan, 0)
+        if plan.cascade_stages and float(totals[3][-1]) > 0.0:
+            raise CascadeOverflowError(
+                f"sharded static cascade schedule "
+                f"{settings.cascade_schedule!r} dropped "
+                f"{float(totals[3][-1]):.0f} live lanes across shards "
+                "(occupancy[-1] > 0): the image is biased.  Widen the "
+                "schedule or use cascade_schedule='auto'."
+            )
+        return plan.finalize(*totals)
+
+    # auto: chunk 0 on the plain path doubles as the calibration run
+    plain = dataclasses.replace(settings, cascade=False,
+                                cascade_schedule=None)
+    plan0 = ShardedChunkPlan(scene, cam, plain, key, mesh, background)
+    a0, s0, b0, o0, om0 = plan0.run_chunk(0)
+    if plan0.n_chunks == 1:
+        return plan0.finalize(a0, s0, b0, o0)
+
+    om0_host = np.asarray(om0)
+    margin = AUTO_MARGIN
+    for _attempt in range(3):
+        sched = _derive_cascade_schedule(
+            om0_host, plan0.lanes_per_shard, settings.max_bounces,
+            margin=margin,
+        )
+        sched = _maybe_prepend_reorder(sched, scene)
+        if sched is None:
+            break  # no boundary pays: plain path for the rest
+        plan1 = ShardedChunkPlan(
+            scene, cam,
+            dataclasses.replace(settings, cascade=True,
+                                cascade_schedule=sched),
+            key, mesh, background,
+        )
+        if not plan1.cascade_stages:
+            break
+        totals = _run_chunks(plan1, 1, (a0, s0, b0, o0))
+        if float(totals[3][-1]) == 0.0:
+            return plan1.finalize(*totals)
+        warnings.warn(
+            f"sharded auto cascade schedule {sched!r} dropped "
+            f"{float(totals[3][-1]):.0f} live lanes — re-deriving at "
+            f"margin {margin * 2:g} and re-rendering",
+            stacklevel=2,
+        )
+        margin *= 2.0
+
+    totals = _run_chunks(plan0, 1, (a0, s0, b0, o0))
+    return plan0.finalize(*totals)

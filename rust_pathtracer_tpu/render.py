@@ -273,6 +273,33 @@ def _render_chunk(
 CASCADE_B1 = 3
 _CASCADE_SHRINKS = (32, 16, 8, 4, 2, 1)
 
+# auto-schedule derivation: slice widths hug AUTO_MARGIN x the probed
+# live count; the probe renders ~AUTO_PROBE_TARGET strided pixels at
+# 1 spp on the plain path (cheap vs a full-width calibration chunk —
+# a ModelTest chunk is ~10x the cascaded one, which would blow the
+# "auto within 105% of hand-tuned" budget on multi-chunk frames).
+# The margin can sit near 1 because render_radiance owns the overflow
+# guard (re-derive at doubled margin + re-render); the measured-best
+# hand schedules run at ~1.2-1.5x slack (DESIGN.md §11) and
+# tail-tightening beyond ~1.3x is a measured wash.
+AUTO_MARGIN = 1.35
+AUTO_PROBE_TARGET = 1 << 16
+# prepend a width-preserving "1:1" pass-set reorder boundary when the
+# scene has many clusters: grouping secondary rays by exact pass-set
+# shrinks block-union sweeps only when rays cross few of MANY clusters
+# (ModelTest, 80 clusters: chunk 0.629 -> 0.427 s) and HURTS when they
+# cross most of FEW (SphereField, 8 clusters: 0.335 vs 0.226 s) —
+# DESIGN.md §11.
+REORDER_CLUSTER_MIN = 32
+
+
+class CascadeOverflowError(RuntimeError):
+    """A static cascade slice dropped live lanes (occupancy[-1] > 0):
+    the rendered image is silently DARKENED by the missing paths.
+    Widen the schedule (smaller shrinks / later boundaries) or use
+    cascade_schedule="auto", which derives safe widths and auto-widens
+    on overflow."""
+
 
 @partial(
     jax.jit,
@@ -498,20 +525,28 @@ def _render_chunk_cascaded_static(scene, cam, base_key, sample_offset, bg,
 
 
 def _derive_cascade_schedule(occupancy, n_lanes, max_bounces, *,
-                             margin=2.5, max_stages=3):
+                             margin=AUTO_MARGIN, max_stages=6):
     """Static cascade schedule from a measured occupancy histogram.
 
     ``occupancy[b]`` = lanes alive entering bounce b (one chunk).  For
     each candidate boundary the slice width hugs ``margin`` x the
     measured live count exactly (rounded up to a 128-lane multiple —
     the TPU vector lane width; shrinks are emitted as rationals, see
-    parse_cascade_schedule).  A boundary is emitted when the width
-    first drops to <= half the pool, then whenever it drops another
-    >=4x, up to ``max_stages`` — each boundary costs a carried sort at
-    the PREVIOUS width, so small additional shrinks don't pay.
-    Returns a "b:s,b:s" string or None when no boundary pays.  The
-    occupancy[-1] overflow guard still protects every chunk rendered
-    with the derived schedule (keys differ chunk to chunk).
+    parse_cascade_schedule).  The emit rules mirror what the measured-
+    best hand schedules look like (DESIGN.md §11: ModelTest
+    "1:1,2:8,3:16,4:32,5:256", SphereField "2:2,3:3,4:5,5:10,9:80"):
+    the first boundary lands when the width drops to <= 60% of the
+    pool (a near-full-width slice materialization costs more than the
+    shrink saves — the measured-negative b1 experiments), then a new
+    boundary whenever the width drops another >=1.4x (carried-sort
+    boundaries are cheap at compacted widths), up to ``max_stages``.
+    Returns a "b:s,b:s" string or None when no boundary pays.
+
+    ``margin`` (default AUTO_MARGIN) can sit close to 1: the renderer
+    OWNS the overflow guard (render_radiance re-derives at a doubled
+    margin and re-renders on occupancy[-1] > 0), so a tight schedule
+    can never silently bias — chunk-to-chunk occupancy varies only by
+    sampling noise at >=1e5 lanes.
     """
     from fractions import Fraction
 
@@ -521,7 +556,7 @@ def _derive_cascade_schedule(occupancy, n_lanes, max_bounces, *,
     for b in range(1, nb):
         alive = float(occupancy[b])
         w = int(-(-max(margin * alive, 128.0) // 128.0) * 128)
-        emit = w <= (n_lanes // 2 if not stages else cur // 4)
+        emit = w <= (0.6 * n_lanes if not stages else cur / 1.4)
         if emit and len(stages) < max_stages:
             f = Fraction(n_lanes, w)
             s = (str(f.numerator) if f.denominator == 1
@@ -529,6 +564,75 @@ def _derive_cascade_schedule(occupancy, n_lanes, max_bounces, *,
             stages.append(f"{b}:{s}")
             cur = w
     return ",".join(stages) if stages else None
+
+
+@partial(jax.jit, static_argnames=("width", "height", "max_bounces",
+                                   "rr_start"))
+def _probe_chunk(scene, cam, base_key, pix, bg, *, width, height,
+                 spp_total, max_bounces, rr_start):
+    """Plain 1-spp trace over a strided pixel subset — the cheap
+    occupancy probe behind cascade_schedule="auto"."""
+    return trace_pixel_lanes(
+        scene, cam, base_key, pix, jnp.uint32(0), bg,
+        width=width, height=height, spp_chunk=1, spp_total=spp_total,
+        max_bounces=max_bounces, rr_start=rr_start, differentiable=False,
+    )
+
+
+def _maybe_prepend_reorder(sched, scene):
+    """Prepend the width-preserving "1:1" pass-set reorder boundary for
+    many-cluster scenes (see REORDER_CLUSTER_MIN)."""
+    if not sched:
+        return sched
+    from rust_pathtracer_tpu.ops.projected import use_passset_reorder
+
+    first_b = int(sched.split(",")[0].split(":")[0])
+    if (scene.proj is not None and use_passset_reorder()
+            and scene.proj.cluster_bounds.shape[1] >= REORDER_CLUSTER_MIN
+            and first_b > 1):
+        return "1:1," + sched
+    return sched
+
+
+def derive_cascade_schedule(scene, cam, settings, key, background=None,
+                            *, margin=AUTO_MARGIN):
+    """Derive a static cascade schedule from a cheap probe render.
+
+    Renders ~AUTO_PROBE_TARGET strided pixels at 1 spp on the plain
+    path, scales the measured occupancy histogram to the full chunk
+    lane count, and derives margin-hugging 128-aligned widths
+    (_derive_cascade_schedule) plus the "1:1" reorder boundary where
+    it pays.  Deterministic for a given (scene, camera, settings, key)
+    — a resumed or repeated render derives the identical schedule.
+    Returns a schedule string or None when no boundary pays.
+
+    Animation callers should derive ONCE and pass the string as an
+    explicit schedule: every distinct schedule string is a separate
+    compiled cascade graph (~6-12 min on the remote TPU service), so a
+    per-frame re-derivation that wobbles a width would recompile.
+    """
+    bg = jnp.asarray(
+        settings.background if background is None else background,
+        jnp.float32,
+    )
+    chunk = settings.resolve_chunk()
+    npix = settings.width * settings.height
+    stride = max(1, npix // AUTO_PROBE_TARGET)
+    pix = np.arange(0, npix, stride, dtype=np.uint32)
+    _, stats = _probe_chunk(
+        scene, cam, key, pix, bg,
+        width=settings.width, height=settings.height,
+        spp_total=settings.samples_per_pixel,
+        max_bounces=settings.max_bounces,
+        rr_start=settings.russian_roulette_start,
+    )
+    occ = np.asarray(stats.occupancy)
+    n_lanes = npix * chunk
+    scale = n_lanes / float(pix.shape[0])
+    sched = _derive_cascade_schedule(
+        occ * scale, n_lanes, settings.max_bounces, margin=margin
+    )
+    return _maybe_prepend_reorder(sched, scene)
 
 
 def _render_chunk_cascaded(scene, cam, base_key, sample_offset, bg, *,
@@ -589,6 +693,59 @@ def _render_chunk_cascaded(scene, cam, base_key, sample_offset, bg, *,
     return acc, TraceStats(segments=segs, bounces=bounces, occupancy=occ)
 
 
+def _render_frame(scene, cam, settings, key, bg, spp, chunk, *,
+                  cascade, schedule):
+    """One full frame at a RESOLVED schedule (no "auto" here).
+
+    Returns (img, stats, used_static) — used_static says whether the
+    static cascade (the only path that can drop live lanes) actually
+    applied, so the caller knows occupancy[-1] is a guard slot.
+    """
+    used_static = False
+    if cascade:
+        R_full = settings.width * settings.height * chunk
+        used_static = bool(
+            _cascade_static_schedule(settings.max_bounces, R_full, schedule)
+        )
+    acc = jnp.zeros((settings.width * settings.height, 3), jnp.float32)
+    total_segments = jnp.float32(0.0)
+    total_bounces = jnp.int32(0)
+    total_occ = None
+    for s0 in range(0, spp, chunk):
+        if cascade:
+            part, stats = _render_chunk_cascaded(
+                scene, cam, key, jnp.uint32(s0), bg,
+                width=settings.width, height=settings.height,
+                spp_chunk=chunk, spp_total=spp,
+                max_bounces=settings.max_bounces,
+                rr_start=settings.russian_roulette_start,
+                schedule=schedule,
+            )
+        else:
+            part, stats = _render_chunk(
+                scene, cam, key, jnp.uint32(s0), bg,
+                width=settings.width, height=settings.height,
+                spp_chunk=chunk, spp_total=spp,
+                max_bounces=settings.max_bounces,
+                rr_start=settings.russian_roulette_start,
+                differentiable=settings.differentiable,
+                remat=settings.remat,
+            )
+        acc = acc + part
+        total_segments = total_segments + stats.segments
+        total_bounces = total_bounces + stats.bounces
+        total_occ = (
+            stats.occupancy if total_occ is None
+            else total_occ + stats.occupancy
+        )
+
+    img = (acc / jnp.float32(spp)).reshape(settings.height, settings.width, 3)
+    stats = TraceStats(
+        segments=total_segments, bounces=total_bounces, occupancy=total_occ
+    )
+    return img, stats, used_static
+
+
 def render_radiance(
     scene,
     cam: Camera,
@@ -599,6 +756,15 @@ def render_radiance(
     """Linear-space mean radiance image (H, W, 3) + TraceStats.
 
     Differentiable w.r.t. scene arrays / camera / background.
+
+    Static-cascade safety: the renderer OWNS the overflow guard.  With
+    an explicit schedule, any dropped live lane (occupancy[-1] > 0)
+    raises CascadeOverflowError instead of returning a silently
+    darkened image.  With "auto" the schedule is derived from a cheap
+    probe render (derive_cascade_schedule) and on overflow the frame
+    is re-derived at double the margin and re-rendered (twice, then
+    the plain path) — the renderer chose the widths, so it owns the
+    recovery.  One occupancy fetch per frame; no per-chunk syncs.
     """
     spp = settings.samples_per_pixel
     chunk = settings.resolve_chunk()
@@ -607,85 +773,61 @@ def render_radiance(
     )
 
     import os
+    import warnings
 
     cascade = (
         settings.cascade
         or os.environ.get("RPT_CASCADE", "0") == "1"
         or settings.cascade_schedule is not None
     ) and not settings.differentiable
-    schedule = settings.cascade_schedule
+    auto = cascade and settings.cascade_schedule == "auto"
+    margin = AUTO_MARGIN
+    max_attempts = 3 if auto else 1
 
-    acc = jnp.zeros((settings.width * settings.height, 3), jnp.float32)
-    total_segments = jnp.float32(0.0)
-    total_bounces = jnp.int32(0)
-    total_occ = None
-    for s0 in range(0, spp, chunk):
-        if cascade:
-            if schedule == "auto" and s0 == 0:
-                # calibration chunk: render chunk 0 on the plain
-                # chunked path, then derive a static schedule from its
-                # measured occupancy histogram (2.5x margin, see
-                # _derive_cascade_schedule) for chunks 1..N.  One host
-                # sync per FRAME; the occupancy[-1] guard still
-                # protects every subsequent chunk.
-                part, stats = _render_chunk(
-                    scene, cam, key, jnp.uint32(s0), bg,
-                    width=settings.width, height=settings.height,
-                    spp_chunk=chunk, spp_total=spp,
-                    max_bounces=settings.max_bounces,
-                    rr_start=settings.russian_roulette_start,
-                    differentiable=False,
-                )
-                n_lanes = settings.width * settings.height * chunk
-                schedule = _derive_cascade_schedule(
-                    np.asarray(stats.occupancy), n_lanes,
-                    settings.max_bounces,
-                )
-                acc = acc + part
-                total_segments = total_segments + stats.segments
-                total_bounces = total_bounces + stats.bounces
-                total_occ = stats.occupancy
-                continue
-            part, stats = _render_chunk_cascaded(
-                scene, cam, key, jnp.uint32(s0), bg,
-                width=settings.width, height=settings.height,
-                spp_chunk=chunk, spp_total=spp,
-                max_bounces=settings.max_bounces,
-                rr_start=settings.russian_roulette_start,
-                schedule=schedule,
+    for attempt in range(max_attempts):
+        if auto:
+            sched = derive_cascade_schedule(
+                scene, cam, settings, key, background, margin=margin
             )
-            acc = acc + part
-            total_segments = total_segments + stats.segments
-            total_bounces = total_bounces + stats.bounces
-            total_occ = (
-                stats.occupancy if total_occ is None
-                else total_occ + stats.occupancy
-            )
-            continue
-        part, stats = _render_chunk(
-            scene,
-            cam,
-            key,
-            jnp.uint32(s0),
-            bg,
-            width=settings.width,
-            height=settings.height,
-            spp_chunk=chunk,
-            spp_total=spp,
-            max_bounces=settings.max_bounces,
-            rr_start=settings.russian_roulette_start,
-            differentiable=settings.differentiable,
-            remat=settings.remat,
+            use_cascade = sched is not None
+        else:
+            sched = settings.cascade_schedule
+            use_cascade = cascade
+        img, stats, used_static = _render_frame(
+            scene, cam, settings, key, bg, spp, chunk,
+            cascade=use_cascade, schedule=sched,
         )
-        acc = acc + part
-        total_segments = total_segments + stats.segments
-        total_bounces = total_bounces + stats.bounces
-        total_occ = stats.occupancy if total_occ is None else total_occ + stats.occupancy
+        if not used_static or isinstance(stats.occupancy, jax.core.Tracer):
+            return img, stats
+        overflow = float(stats.occupancy[-1])
+        if overflow == 0.0:
+            return img, stats
+        if not auto:
+            raise CascadeOverflowError(
+                f"static cascade schedule {sched!r} dropped "
+                f"{overflow:.0f} live lanes (occupancy[-1] > 0): the "
+                "image is biased.  Widen the schedule or use "
+                "cascade_schedule='auto'."
+            )
+        warnings.warn(
+            f"auto cascade schedule {sched!r} dropped {overflow:.0f} "
+            f"live lanes — re-deriving at margin {margin * 2:g} and "
+            "re-rendering",
+            stacklevel=2,
+        )
+        margin *= 2.0
 
-    img = (acc / jnp.float32(spp)).reshape(settings.height, settings.width, 3)
-    return img, TraceStats(
-        segments=total_segments, bounces=total_bounces, occupancy=total_occ
+    # auto attempts exhausted: the plain chunked path is always exact
+    warnings.warn(
+        "auto cascade schedule still overflowed after widening — "
+        "rendering the plain chunked path",
+        stacklevel=2,
     )
+    img, stats, _ = _render_frame(
+        scene, cam, settings, key, bg, spp, chunk,
+        cascade=False, schedule=None,
+    )
+    return img, stats
 
 
 def render_image(scene, cam: Camera, settings: RenderSettings, key):

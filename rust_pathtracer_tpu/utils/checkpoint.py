@@ -97,11 +97,24 @@ def render_radiance_checkpointed(
     use_cascade = (
         settings.cascade or settings.cascade_schedule is not None
     ) and not settings.differentiable
-    # "auto" needs a calibration chunk the resume loop doesn't model;
-    # fall back to the dynamic host-synced boundaries there
+    # "auto": the probe derivation is deterministic for a given
+    # (scene, camera, settings, key), so a resumed run re-derives the
+    # IDENTICAL schedule — resume stays bitwise-exact
     schedule = settings.cascade_schedule
-    if schedule == "auto":
-        schedule = None
+    auto = schedule == "auto" and use_cascade
+    if auto:
+        from rust_pathtracer_tpu.render import derive_cascade_schedule
+
+        schedule = derive_cascade_schedule(scene, cam, settings, key)
+    static_applies = False
+    if use_cascade:
+        from rust_pathtracer_tpu.render import _cascade_static_schedule
+
+        static_applies = bool(_cascade_static_schedule(
+            settings.max_bounces,
+            settings.width * settings.height * settings.resolve_chunk(),
+            schedule,
+        ))
 
     spp = settings.samples_per_pixel
     chunk = settings.resolve_chunk()
@@ -137,6 +150,32 @@ def render_radiance_checkpointed(
                 rr_start=settings.russian_roulette_start,
                 schedule=schedule,
             )
+            # the per-chunk host sync below (float(segments)) already
+            # serializes this loop, so the overflow fetch is free here
+            if static_applies and float(stats.occupancy[-1]) > 0.0:
+                if not auto:
+                    from rust_pathtracer_tpu.render import (
+                        CascadeOverflowError,
+                    )
+
+                    raise CascadeOverflowError(
+                        f"static cascade schedule {schedule!r} dropped "
+                        f"{float(stats.occupancy[-1]):.0f} live lanes "
+                        "in a checkpointed chunk: the image is biased."
+                    )
+                # auto: re-render just this chunk on the (always
+                # exact) plain path — per-lane radiance is identical,
+                # so resume bitwise-exactness is preserved
+                part, stats = _render_chunk(
+                    scene, cam, key, jnp.uint32(s0), bg,
+                    width=settings.width,
+                    height=settings.height,
+                    spp_chunk=chunk,
+                    spp_total=spp,
+                    max_bounces=settings.max_bounces,
+                    rr_start=settings.russian_roulette_start,
+                    differentiable=False,
+                )
         else:
             part, stats = _render_chunk(
                 scene, cam, key, jnp.uint32(s0), bg,
@@ -231,9 +270,18 @@ def render_radiance_sharded_checkpointed(
     # uninterrupted run exactly -> bitwise-identical resume
     acc = jnp.asarray(acc_host)
     for c in range(start_chunk, plan.n_chunks):
-        a, s, _b, _o = plan.run_chunk(c)
+        a, s, _b, o, _om = plan.run_chunk(c)
         acc = acc + a[:npix]
         segments += float(s)
+        if plan.cascade_stages and float(o[-1]) > 0.0:
+            from rust_pathtracer_tpu.render import CascadeOverflowError
+
+            raise CascadeOverflowError(
+                f"sharded static cascade schedule "
+                f"{settings.cascade_schedule!r} dropped "
+                f"{float(o[-1]):.0f} live lanes in chunk {c}: the "
+                "image is biased.  Widen the schedule."
+            )
         if (c + 1 - start_chunk) % checkpoint_every == 0:
             save_checkpoint(
                 checkpoint_path,

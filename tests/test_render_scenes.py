@@ -125,10 +125,14 @@ def test_cascade_matches_chunked():
 def test_cascade_static_schedule():
     """Static-width cascade (no host sync; RenderSettings.
     cascade_schedule) must equal the chunked renderer exactly, with a
-    zero overflow counter; an over-tight schedule must report dropped
-    live lanes in occupancy[-1] instead of silently biasing."""
+    zero overflow counter; an over-tight schedule must raise
+    CascadeOverflowError instead of silently biasing."""
     import dataclasses
     import os
+
+    import pytest
+
+    from rust_pathtracer_tpu.render import CascadeOverflowError
 
     os.environ["RPT_PROJ_INTERPRET"] = "1"
     try:
@@ -148,8 +152,8 @@ def test_cascade_static_schedule():
                                    rtol=1e-6, atol=1e-6)
         s_tight = dataclasses.replace(s, cascade=True,
                                       cascade_schedule="1:16")
-        _, st2 = render_radiance(scene, cam, s_tight, jax.random.PRNGKey(0))
-        assert float(st2.occupancy[-1]) > 0
+        with pytest.raises(CascadeOverflowError, match="dropped"):
+            render_radiance(scene, cam, s_tight, jax.random.PRNGKey(0))
     finally:
         os.environ.pop("RPT_PROJ_INTERPRET", None)
 
@@ -227,9 +231,9 @@ def test_cascade_static_multi_chunk():
 
 
 def test_cascade_auto_schedule():
-    """cascade_schedule="auto": chunk 0 calibrates (plain path), later
-    chunks run the derived one-jit static schedule — image equal to
-    the chunked renderer, zero overflow, same segments."""
+    """cascade_schedule="auto": a cheap strided-pixel probe derives the
+    static schedule, then EVERY chunk runs the one-jit cascade — image
+    equal to the chunked renderer, zero overflow, same segments."""
     import dataclasses
 
     from rust_pathtracer_tpu.render import _derive_cascade_schedule
@@ -247,20 +251,52 @@ def test_cascade_auto_schedule():
                                rtol=1e-6, atol=1e-6)
 
     # derivation sanity on a synthetic collapse curve: 1M lanes,
-    # 66/41/29/15/4.3/2.0/1.1/...% alive (the SphereField shape)
+    # 66/41/29/15/4.3/2.0/1.1/...% alive (the SphereField shape).
+    # New emit rules (matching the measured-best hand schedules): first
+    # boundary once width <= 60% of the pool, then every >=1.4x drop —
+    # this curve cuts at bounce 2 like the hand-tuned "2:2,3:3,..."
+    from rust_pathtracer_tpu.render import AUTO_MARGIN
+
     occ = np.array([1.0, 0.66, 0.41, 0.287, 0.154, 0.043, 0.02,
                     0.0107, 0.0065] + [0.003] * 11) * (1 << 20)
     sched = _derive_cascade_schedule(occ, 1 << 20, 20)
-    assert sched is not None and sched.startswith("4:")
-    # widths hug 2.5x the live count (128-aligned rationals), resolve
-    # statically, and every slice holds the margin
+    assert sched is not None and sched.startswith("2:")
+    # widths hug AUTO_MARGIN x the live count (128-aligned rationals),
+    # resolve statically, and every slice holds the margin
     from rust_pathtracer_tpu.render import _cascade_static_schedule
 
     stages = _cascade_static_schedule(20, 1 << 20, sched)
     assert stages, sched
     for b, w in stages:
         assert w % 128 == 0
-        assert 2.5 * occ[b] <= w < 2.5 * occ[b] + 128
+        assert AUTO_MARGIN * occ[b] <= w < AUTO_MARGIN * occ[b] + 128
+
+
+def test_cascade_auto_overflow_widens(monkeypatch):
+    """When the probe-derived widths are too tight (forced via a tiny
+    AUTO_MARGIN) the renderer OWNS the guard: it warns, re-derives at
+    doubled margin, and ultimately falls back to the plain path — the
+    returned image is never biased."""
+    import dataclasses
+    import warnings
+
+    from rust_pathtracer_tpu import render as render_mod
+
+    sd = get_scene("CornellBox")
+    scene = sd.build()
+    cam = sd.camera_at(0.0)
+    s = RenderSettings(24, 24, 8, 12, (0.0, 0.0, 0.0), spp_chunk=4)
+    img0, st0 = render_radiance(scene, cam, s, jax.random.PRNGKey(7))
+    monkeypatch.setattr(render_mod, "AUTO_MARGIN", 0.3)
+    s1 = dataclasses.replace(s, cascade_schedule="auto")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        img1, st1 = render_radiance(scene, cam, s1, jax.random.PRNGKey(7))
+    assert any("dropped" in str(w.message) or "overflow" in str(w.message)
+               for w in caught), [str(w.message) for w in caught]
+    assert float(st1.segments) == float(st0.segments)
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img0),
+                               rtol=1e-6, atol=1e-6)
 
 
 def test_cascade_passset_key_matches_octant_key(monkeypatch):

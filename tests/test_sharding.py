@@ -89,3 +89,40 @@ def test_sharded_cascade_matches_single(cornell):
     img, stats = render_radiance_sharded(scene, cam, s, key, mesh)
     assert float(stats.occupancy[-1]) == 0.0
     assert np.allclose(np.asarray(img), np.asarray(ref), atol=2e-6)
+
+
+def test_sharded_cascade_auto(cornell):
+    """cascade_schedule="auto" on the mesh: chunk 0 calibrates (plain,
+    worst-shard pmax occupancy), later chunks cascade per shard —
+    image matches the single-device plain render, zero overflow."""
+    import dataclasses
+
+    scene, cam = cornell
+    key = jax.random.PRNGKey(11)
+    # spp 16 over the 2-wide samples axis with spp_chunk 4 -> each
+    # group runs 2 chunks: chunk 0 calibrates, chunk 1 cascades
+    s_plain = dataclasses.replace(
+        SETTINGS, max_bounces=12, samples_per_pixel=16, spp_chunk=4
+    )
+    ref, _ = render_radiance(scene, cam, s_plain, key)
+    s = dataclasses.replace(s_plain, cascade_schedule="auto")
+    mesh = make_mesh(tiles=4, samples=2)
+    img, stats = render_radiance_sharded(scene, cam, s, key, mesh)
+    assert stats.occupancy is None or float(stats.occupancy[-1]) == 0.0
+    assert np.allclose(np.asarray(img), np.asarray(ref), atol=2e-6)
+
+
+def test_sharded_cascade_overflow_raises(cornell):
+    """A deliberately tight explicit schedule on the mesh raises
+    instead of returning a silently darkened image."""
+    import dataclasses
+
+    from rust_pathtracer_tpu.render import CascadeOverflowError
+
+    scene, cam = cornell
+    key = jax.random.PRNGKey(11)
+    s = dataclasses.replace(SETTINGS, max_bounces=12,
+                            cascade_schedule="1:16")
+    mesh = make_mesh(tiles=4, samples=2)
+    with pytest.raises(CascadeOverflowError, match="dropped"):
+        render_radiance_sharded(scene, cam, s, key, mesh)
