@@ -54,6 +54,19 @@ from rust_pathtracer_tpu.materials import emitted, scatter, shade_inputs
 from rust_pathtracer_tpu.render import RenderSettings
 
 
+def _stripe_len(total: int, spp: int, lanes: int):
+    """Pixel-aligned stripe length for the stripe-queue mode: the
+    smallest divisor of spp >= ceil(total/lanes), or None when no
+    single-pixel stripe covers the pool (lanes < npix)."""
+    k0 = -(-total // lanes)
+    if k0 > spp:
+        return None
+    for k in range(k0, spp + 1):
+        if spp % k == 0:
+            return k
+    return None
+
+
 def render_radiance_regen(
     scene,
     cam: Camera,
@@ -61,6 +74,7 @@ def render_radiance_regen(
     key,
     lanes: int | None = None,
     flush_every: int | None = None,
+    mode: str | None = None,
 ):
     """Linear radiance image via the regeneration wavefront.
 
@@ -68,6 +82,26 @@ def render_radiance_regen(
     render_radiance (same per-path RNG); accumulation order differs.
     ``flush_every``: bounce iterations between flush+refill windows
     (default 2, the measured v5e optimum; RPT_FLUSH_EVERY overrides).
+
+    ``mode`` (RPT_REGEN_MODE): work-handout strategy.
+
+    * "queue" — the round-2 design: a global work counter; finished
+      lanes take the next (pixel, sample) via an exclusive cumsum and
+      their radiance is scatter-added into the image accumulator every
+      window (scatter 18.9 ms + spawn 3.8 + cumsum 2.7 per window at
+      1M lanes, tools/tpu_spawnprobe.py).
+    * "stripe" — each lane OWNS a fixed pixel-aligned stripe of
+      consecutive work ids (pixel-major: ids p*spp+s, so one stripe =
+      one pixel's sample range).  A finished lane banks its radiance
+      into a lane-local pixel sum and advances to its next sample —
+      no cumsum, no per-window scatter; ONE scatter-add flushes the
+      lane sums at the very end.  MEASURED NEGATIVE on v5e LightTest
+      512^2@256spp: 23.3 s vs 5.9 s queue — path depths within one
+      pixel are strongly CORRELATED (same geometry), so a worst-pixel
+      stripe drains alone for thousands of iterations (observed 2448
+      loop iters vs 190; the iid-concentration argument only holds
+      across pixels).  Kept as an opt-in documented negative.
+    * "auto" (default) — "queue" (the measured winner).
     """
     width, height = settings.width, settings.height
     spp = settings.samples_per_pixel
@@ -97,11 +131,31 @@ def render_radiance_regen(
         )
     bg = jnp.asarray(settings.background, jnp.float32)
 
+    mode = mode or os.environ.get("RPT_REGEN_MODE", "auto")
+    if mode not in ("auto", "stripe", "queue"):
+        raise ValueError(f"regen mode {mode!r}")
+    stripe_k = _stripe_len(total, spp, lanes)
+    if mode == "stripe" and stripe_k is None:
+        raise ValueError(
+            f"stripe mode needs a pixel-aligned stripe: spp={spp} has "
+            f"no divisor >= ceil(total/lanes)={-(-total // lanes)}"
+        )
+    use_stripe = stripe_k is not None and mode == "stripe"
+    if use_stripe:
+        # exact pool: one lane per stripe (stripe_k | spp | total)
+        lanes = total // stripe_k
+
     def spawn(work_id):
         """Camera rays + keys for (clipped) work ids."""
         wid = jnp.maximum(work_id, 0).astype(jnp.uint32)
-        pixel = wid % np.uint32(npix)
-        sample = wid // np.uint32(npix)
+        if use_stripe:
+            # pixel-major ids: one stripe of consecutive ids = one
+            # pixel's contiguous sample range (lane-local accumulation)
+            pixel = wid // np.uint32(spp)
+            sample = wid % np.uint32(spp)
+        else:
+            pixel = wid % np.uint32(npix)
+            sample = wid // np.uint32(npix)
         counter = pixel * np.uint32(spp) + sample  # render.py convention
         lkeys = sampling.lane_keys(key, counter)
         jit_u = sampling.uniform2(
@@ -117,7 +171,10 @@ def render_radiance_regen(
         return pixel.astype(jnp.int32), lkeys, o, d
 
     # initial fill
-    init_work = jnp.arange(lanes, dtype=jnp.int32)
+    if use_stripe:
+        init_work = jnp.arange(lanes, dtype=jnp.int32) * np.int32(stripe_k)
+    else:
+        init_work = jnp.arange(lanes, dtype=jnp.int32)
     pixel0, lkeys0, o0, d0 = spawn(init_work)
 
     reorder = use_wavefront_reorder(scene)
@@ -132,11 +189,22 @@ def render_radiance_regen(
         rad=jnp.zeros((lanes, 3), jnp.float32),
         depth=jnp.zeros(lanes, jnp.int32),
         alive=init_work < total,
-        issued=jnp.int32(lanes),
-        acc=jnp.zeros((npix, 3), jnp.float32),
         segments=jnp.float32(0.0),
         iters=jnp.int32(0),
     )
+    if use_stripe:
+        # nxt/send: the lane's remaining stripe [nxt, send); acc_lane:
+        # the lane-local pixel sum (flushed ONCE after the loop)
+        state.update(
+            nxt=init_work + 1,
+            send=init_work + np.int32(stripe_k),
+            acc_lane=jnp.zeros((lanes, 3), jnp.float32),
+        )
+    else:
+        state.update(
+            issued=jnp.int32(lanes),
+            acc=jnp.zeros((npix, 3), jnp.float32),
+        )
     if reorder:
         state["cluster"] = jnp.zeros(lanes, jnp.int32)
 
@@ -289,6 +357,34 @@ def render_radiance_regen(
             out["cluster"] = jnp.where(take, 0, s["cluster"])
         return out
 
+    def advance_stripe(s):
+        """Bank finished lanes' radiance into their lane-local pixel
+        sum and respawn them on their stripe's next sample — no queue
+        cumsum, no scatter (the one image scatter runs after the
+        loop)."""
+        alive, work = s["alive"], s["work"]
+        finished = ~alive & (work >= 0)
+        acc_lane = s["acc_lane"] + jnp.where(finished[:, None], s["rad"], 0.0)
+        take = finished & (s["nxt"] < s["send"])
+        new_work = jnp.where(take, s["nxt"], -1)
+        pixel_n, lkeys_n, o_n, d_n = spawn(new_work)
+        pixel = jnp.where(take, pixel_n, s["pixel"])
+        lkeys = jnp.where(take[:, None], lkeys_n, s["lkeys"])
+        o = vm.where(take, o_n, s["o"])
+        d = vm.where(take, d_n, s["d"])
+        thr = vm.where(take, jnp.ones_like(s["thr"]), s["thr"])
+        rad = vm.where(take, jnp.zeros_like(s["rad"]), s["rad"])
+        depth = jnp.where(take, 0, s["depth"])
+        work = jnp.where(take, new_work, jnp.where(finished, -1, work))
+        out = dict(
+            s, work=work, pixel=pixel, lkeys=lkeys, o=o, d=d, thr=thr,
+            rad=rad, depth=depth, alive=alive | take,
+            nxt=s["nxt"] + take.astype(jnp.int32), acc_lane=acc_lane,
+        )
+        if reorder:
+            out["cluster"] = jnp.where(take, 0, s["cluster"])
+        return out
+
     def cond(s):
         # pending = finished-but-unflushed; loop runs until every path
         # has been traced AND flushed
@@ -297,11 +393,17 @@ def render_radiance_regen(
     def window(s):
         for _ in range(flush_every):
             s = bounce(s)
-        return flush_refill(s)
+        return advance_stripe(s) if use_stripe else flush_refill(s)
 
     state = jax.lax.while_loop(cond, window, state)
 
-    img = (state["acc"] / jnp.float32(spp)).reshape(height, width, 3)
+    if use_stripe:
+        acc = jnp.zeros((npix, 3), jnp.float32).at[state["pixel"]].add(
+            state["acc_lane"]
+        )
+    else:
+        acc = state["acc"]
+    img = (acc / jnp.float32(spp)).reshape(height, width, 3)
     stats = TraceStats(
         segments=state["segments"],
         bounces=state["iters"],

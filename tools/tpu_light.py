@@ -2,7 +2,7 @@
 wavefront at the judging config (512^2 @ 256 spp, 50 bounces).
 
     python tools/tpu_light.py chunked [rr_start|none]
-    python tools/tpu_light.py regen   [flush_every]
+    python tools/tpu_light.py regen   [flush_every] [stripe|queue]
 
 One config per process; timings end in a device->host fetch.
 """
@@ -38,10 +38,13 @@ else:
     from rust_pathtracer_tpu.wavefront import render_radiance_regen
 
     fe = int(arg) if arg else 4
+    hand = sys.argv[3] if len(sys.argv) > 3 else "queue"
+    pool = int(sys.argv[4]) if len(sys.argv) > 4 else None
     fn = lambda: render_radiance_regen(
-        scene, cam, settings, jax.random.PRNGKey(7), flush_every=fe
+        scene, cam, settings, jax.random.PRNGKey(7), flush_every=fe,
+        mode=hand, lanes=pool,
     )
-    tag = f"regen fe={fe}"
+    tag = f"regen fe={fe} {hand} lanes={pool or 'auto'}"
 
 print(f"backend={jax.default_backend()} {tag}", flush=True)
 t0 = time.perf_counter()
