@@ -97,7 +97,7 @@ def _find_hit(scene, o, d, differentiable):
             sg(scene), sg(o), sg(d), T_MIN, T_MAX
         )
     if not differentiable:
-        return hit_mask, jnp.where(hit_mask, t_search, 1.0), idx
+        return hit_mask, jnp.where(hit_mask, t_search, 1.0), idx, None
 
     # name the discrete search results so the remat policy saves them:
     # the backward sweep then re-runs only the differentiable shading,
@@ -109,14 +109,74 @@ def _find_hit(scene, o, d, differentiable):
 
     from rust_pathtracer_tpu.ops.intersect import gather_prim_rows
 
-    kind, aux, data, _ = gather_prim_rows(scene.prims, idx)
+    # ONE one-hot row gather, shared with the hit record (the round-2
+    # code gathered twice: once here for t, once inside hit_record —
+    # two 1M x P HIGHEST-precision contractions per bounce)
+    rows = gather_prim_rows(scene.prims, idx)
+    kind, aux, data, _mat = rows
+
+    import os
+
+    if os.environ.get("RPT_DIFF_T", "rederive") == "analytic":
+        # implicit-function linearization: bitwise the detached t in
+        # the forward, exact first-order grads w.r.t. (o, d) — skips
+        # the full differentiable re-intersection (see _analytic_t)
+        t = _analytic_t(
+            kind, aux, data, o, d,
+            jnp.where(hit_mask, t_search, 1.0), scene.prim_types,
+        )
+        return hit_mask, t, idx, rows
+
     t_diff, _ = prim_intersect_t(
         kind, aux, data, o, d, T_MIN, T_MAX, prim_types=scene.prim_types
     )
     # dead/miss lanes get a harmless finite t so downstream math stays
     # NaN-free (NaNs in unselected `where` branches poison gradients)
     t = jnp.where(hit_mask, t_diff, 1.0)
-    return hit_mask, t, idx
+    return hit_mask, t, idx, rows
+
+
+def _analytic_t(kind, aux, data, o, d, t_det, prim_types):
+    """Differentiable hit distance via the implicit function theorem.
+
+    For a hit on surface F(x) = 0 at x = o + t d, the exact derivative
+    is dt = -(n.do + t n.dd) / (n.d) with n = grad F at the hit, so
+
+        t(o, d) = sg(t) - (n.(o - sg o) + sg(t) n.(d - sg d)) / sg(n.d)
+
+    is bitwise sg(t) in the forward pass and carries the exact
+    first-order (o, d) sensitivities — no re-intersection, no sqrt /
+    Moller-Trumbore replay.  n per kind: sphere grad |x-c|^2 ~ (x-c);
+    rect: the fixed-axis unit vector; triangle: e1 x e2.  Scene
+    geometry itself is not a differentiable leaf (grad.py DiffParams),
+    so n under stop_gradient loses nothing.
+    """
+    from rust_pathtracer_tpu.ops.intersect import (
+        PRIM_RECT,
+        PRIM_SPHERE,
+        PRIM_TRIANGLE,
+        _axis_onehot,
+    )
+
+    sg = jax.lax.stop_gradient
+    types = prim_types if prim_types is not None else (0, 1, 2)
+    point = sg(o) + t_det[..., None] * sg(d)
+    n = jnp.zeros_like(o)
+    if PRIM_SPHERE in types:
+        n = vm.where(kind == PRIM_SPHERE, point - data[..., 0:3], n)
+    if PRIM_RECT in types:
+        n = vm.where(kind == PRIM_RECT, _axis_onehot(aux), n)
+    if PRIM_TRIANGLE in types:
+        n = vm.where(
+            kind == PRIM_TRIANGLE,
+            vm.cross(data[..., 3:6], data[..., 6:9]), n,
+        )
+    n = sg(n)
+    den = vm.dot(n, sg(d))
+    den = jnp.where(jnp.abs(den) < 1e-30, 1.0, den)
+    return t_det - (
+        vm.dot(n, o - sg(o)) + t_det * vm.dot(n, d - sg(d))
+    ) / den
 
 
 def _proj_interpret() -> bool:
@@ -192,11 +252,22 @@ def search_and_record(scene, o, d, alive, differentiable=False):
         hit_mask = hit_mask & alive
         rec = rec._replace(valid=hit_mask)
     else:
-        hit_mask, t, idx = _find_hit(scene, o, d, differentiable)
+        hit_mask, t, idx, rows = _find_hit(scene, o, d, differentiable)
         hit_mask = hit_mask & alive
-        rec = hit_record(
-            scene.prims, idx, o, d, t, hit_mask, prim_types=scene.prim_types
-        )
+        if rows is not None:
+            # diff mode: reuse the rows _find_hit already gathered
+            from rust_pathtracer_tpu.ops.intersect import record_from_rows
+
+            kind, aux, data, mat = rows
+            rec = record_from_rows(
+                kind, aux, data, mat, jnp.clip(idx, 0, scene.prims.kind.shape[0] - 1),
+                o, d, t, hit_mask, scene.prim_types,
+            )
+        else:
+            rec = hit_record(
+                scene.prims, idx, o, d, t, hit_mask,
+                prim_types=scene.prim_types,
+            )
     return hit_mask, rec, shade_row, cluster
 
 

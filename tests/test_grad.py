@@ -179,6 +179,38 @@ def test_texel_gradient_fd():
     assert np.isclose(float(g_img[0, iy, ix, ch]), g_fd, rtol=3e-2, atol=1e-7)
 
 
+def test_analytic_t_grads_match_rederive(monkeypatch):
+    """RPT_DIFF_T=analytic replaces the differentiable re-intersection
+    with the implicit-function linearization (integrator._analytic_t):
+    the forward loss is bitwise the rederive-mode loss (the correction
+    term is exactly zero in the primal), and every gradient — camera
+    included, whose grads flow THROUGH the hit distance — matches the
+    re-derived chain to fp-reassociation noise."""
+    import jax.flatten_util
+
+    for setup in (_setup, _setup_camera_fd):
+        params, scene, settings, target = setup()
+        results = {}
+        for mode in ("rederive", "analytic"):
+            monkeypatch.setenv("RPT_DIFF_T", mode)
+            # env is read at trace time; same-shape second call would
+            # reuse the jit cache (the vacuous-test trap of DESIGN §10)
+            jax.clear_caches()
+            loss, grads = render_loss_and_grad(
+                params, scene, settings, KEY, target
+            )
+            results[mode] = (float(loss), grads)
+        monkeypatch.delenv("RPT_DIFF_T")
+        l0, g0 = results["rederive"]
+        l1, g1 = results["analytic"]
+        assert l0 == l1
+        f0, _ = jax.flatten_util.ravel_pytree(g0)
+        f1, _ = jax.flatten_util.ravel_pytree(g1)
+        np.testing.assert_allclose(np.asarray(f0), np.asarray(f1),
+                                   rtol=2e-3, atol=1e-6)
+    jax.clear_caches()
+
+
 def test_grads_finite_on_full_material_zoo():
     # metal + dielectric + lights + bvh: gradients exist and are finite
     b = SceneBuilder()
