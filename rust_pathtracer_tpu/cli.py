@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--profile-dir", help="write a jax.profiler trace here")
     p.add_argument(
+        "--timing-log", metavar="PATH",
+        help="append one JSON line per frame: {frame, seconds, segments}"
+        " (the animation artifact's p50/p95 source)",
+    )
+    p.add_argument(
         "--cascade", default=None, metavar="SCHEDULE", nargs="?",
         const="dynamic",
         help="compact the wavefront once occupancy collapses "
@@ -186,10 +191,15 @@ def main(argv=None) -> int:
     if sticky_auto:
         from rust_pathtracer_tpu import render as render_mod
 
-        auto_margin = render_mod.AUTO_MARGIN
+        # 1.5x extra slack over the single-frame margin: the pinned
+        # schedule must hold across the whole camera orbit, and one
+        # overflow costs a re-derive + a fresh ~6-12 min cascade
+        # compile mid-animation
+        auto_margin = render_mod.AUTO_MARGIN * 1.5
         with timer.stage("schedule probe"):
             sched = derive_cascade_schedule(
-                scene, sd.camera_at(args.frame_start / frames), settings, key
+                scene, sd.camera_at(args.frame_start / frames), settings, key,
+                margin=auto_margin,
             )
         settings = dataclasses.replace(
             settings, cascade_schedule=sched, cascade=sched is not None
@@ -285,10 +295,20 @@ def main(argv=None) -> int:
                             cascade=sched is not None,
                         )
                 img.block_until_ready()
-            metrics.wall_seconds += time.perf_counter() - t0
+            frame_s = time.perf_counter() - t0
+            metrics.wall_seconds += frame_s
             metrics.segments += float(stats.segments)
             metrics.add_occupancy(stats.occupancy)
             metrics.frames += 1
+            if args.timing_log:
+                import json
+
+                with open(args.timing_log, "a") as f:
+                    f.write(json.dumps({
+                        "frame": frame,
+                        "seconds": round(frame_s, 3),
+                        "segments": float(stats.segments),
+                    }) + "\n")
 
             rgb = to_rgb8(img)
             with timer.stage("io"):
