@@ -134,8 +134,14 @@ class ShardedChunkPlan:
             )
             # worst-SHARD occupancy: the auto-schedule calibration
             # needs per-shard live counts (slice widths are per shard),
-            # and tiles are heterogeneous (sky tiles die early)
-            occ_max = jax.lax.pmax(stats.occupancy, (SAMPLE_AXIS, TILE_AXIS))
+            # and tiles are heterogeneous (sky tiles die early).
+            # stop_gradient: pmax has no differentiation rule, and this
+            # is diagnostics — without it the differentiable sharded
+            # train step fails to transpose
+            occ_max = jax.lax.pmax(
+                jax.lax.stop_gradient(stats.occupancy),
+                (SAMPLE_AXIS, TILE_AXIS),
+            )
             return acc, segments, bounces, occupancy, occ_max
 
         self._run = jax.jit(jax.shard_map(
