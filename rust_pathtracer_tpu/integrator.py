@@ -117,10 +117,15 @@ def _find_hit(scene, o, d, differentiable):
 
     import os
 
-    if os.environ.get("RPT_DIFF_T", "rederive") == "analytic":
-        # implicit-function linearization: bitwise the detached t in
-        # the forward, exact first-order grads w.r.t. (o, d) — skips
-        # the full differentiable re-intersection (see _analytic_t)
+    if os.environ.get("RPT_DIFF_T", "analytic") == "analytic":
+        # implicit-function linearization (DEFAULT): bitwise the
+        # detached t in the forward — so the diff forward follows the
+        # kernel's t exactly, like the nondiff path, instead of a
+        # re-derived t that can differ in ulps — with exact first-order
+        # grads w.r.t. (o, d); skips the full differentiable
+        # re-intersection.  Measured v5e CornellBox bench: 92.9 ->
+        # 87.6 ms fwd+bwd.  RPT_DIFF_T=rederive restores the round-2
+        # re-derivation.
         t = _analytic_t(
             kind, aux, data, o, d,
             jnp.where(hit_mask, t_search, 1.0), scene.prim_types,
@@ -661,6 +666,26 @@ def trace(
             lane_bounces = origins.shape[0] * max_bounces
             mode = "none" if lane_bounces <= 24_000_000 else "mid"
         def make_step(lk):
+            if mode == "bf16":
+                # save-everything backward with residuals stored in
+                # bfloat16 (ops/compressed_vjp.py): halves the
+                # residual write + transposed-read traffic under a
+                # DOCUMENTED accuracy contract — gradients within
+                # ~1e-2 normalized error of the f32-residual grads
+                # (tests/test_grad.py pins it); the primal forward is
+                # bitwise unchanged.
+                from rust_pathtracer_tpu.ops.compressed_vjp import (
+                    compressed_fn,
+                )
+
+                base = compressed_fn(
+                    lambda state, scene_, background_, lk_, bounce:
+                        _bounce_step(scene_, lk_, background_, rr_start,
+                                     state, bounce, differentiable=True)
+                )
+                return lambda state, bounce: base(
+                    state, scene, background, lk, bounce
+                )
             if mode == "none":
                 return lambda state, bounce: _bounce_step(
                     scene, lk, background, rr_start, state, bounce,
@@ -704,9 +729,16 @@ def trace(
             )
         else:
             step = make_step(lane_keys)
+            # Unroll the diff scan so XLA fuses across bounce
+            # boundaries (residual writes + next bounce's reads).
+            # Measured v5e CornellBox bench: unroll=2 87.6 -> 83.2 ms
+            # fwd+bwd; unroll=4 regressed to 93.5 ms.  RPT_SCAN_UNROLL
+            # overrides (trace-time env).
+            unroll = int(os.environ.get("RPT_SCAN_UNROLL", "2"))
             state, _ = jax.lax.scan(
                 lambda s, b: (step(s, b), None),
                 init, jnp.arange(max_bounces, dtype=jnp.int32),
+                unroll=unroll,
             )
         bounces_done = jnp.int32(max_bounces)
     else:

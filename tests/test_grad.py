@@ -211,6 +211,33 @@ def test_analytic_t_grads_match_rederive(monkeypatch):
     jax.clear_caches()
 
 
+def test_bf16_residual_contract():
+    """remat="bf16" (ops/compressed_vjp.py): reverse-mode residuals
+    stored in bfloat16.  The documented accuracy contract: the primal
+    loss is BITWISE unchanged (only what is saved for the backward is
+    rounded), and gradients stay within ~1e-2 normalized error of the
+    f32-residual gradients.  The lower bound proves compression
+    actually engaged (the render is sized above MIN_COMPRESS_ELEMS)."""
+    import jax.flatten_util
+
+    from rust_pathtracer_tpu.grad import render_loss_and_grad
+    from rust_pathtracer_tpu.ops.compressed_vjp import MIN_COMPRESS_ELEMS
+
+    params, scene, settings, target = _setup(
+        width=64, height=64, spp=8, bounces=4
+    )
+    assert 64 * 64 * 8 >= MIN_COMPRESS_ELEMS
+    l0, g0 = render_loss_and_grad(params, scene, settings, KEY, target)
+    s16 = dataclasses.replace(settings, remat="bf16")
+    l1, g1 = render_loss_and_grad(params, scene, s16, KEY, target)
+    assert float(l0) == float(l1)
+    f0, _ = jax.flatten_util.ravel_pytree(g0)
+    f1, _ = jax.flatten_util.ravel_pytree(g1)
+    rel = float(np.linalg.norm(np.asarray(f0) - np.asarray(f1))
+                / np.linalg.norm(np.asarray(f0)))
+    assert 1e-7 < rel < 1e-2, rel
+
+
 def test_grads_finite_on_full_material_zoo():
     # metal + dielectric + lights + bvh: gradients exist and are finite
     b = SceneBuilder()
