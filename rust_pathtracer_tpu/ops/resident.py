@@ -66,8 +66,8 @@ RES_BLOCK_ROWS = 8
 RES_MAX_COLS = 12288
 
 
-def _res_kernel(distinct_kinds, t_min, kcap, m_ref, cnt_ref,
-                rays_ref, a_ref, b_ref, k_ref, payt_ref,
+def _res_kernel(distinct_kinds, t_min, kcap, tprune, m_ref, cnt_ref,
+                ent_ref, rays_ref, a_ref, b_ref, k_ref, payt_ref,
                 t_ref, c_ref, payout_ref, tb_ref, cb_ref, pb_ref):
     """One grid step = one ray block; in-kernel loop over its slots.
 
@@ -76,6 +76,19 @@ def _res_kernel(distinct_kinds, t_min, kcap, m_ref, cnt_ref,
     unpacked (2, W) layout would double the scalar-prefetch footprint).
     Only the first ``cnt_ref[blk]`` slots of a block are real; the loop
     never reads the rest.
+
+    ``tprune`` (static): slots arrive sorted by conservative block
+    entry distance (``ent_ref``, ray-parameter units) and the loop
+    EXITS once the next slot's entry exceeds every live lane's current
+    best t — the reference BVH's t_max tightening (bvh.rs:106-126) at
+    block granularity.  Exact: a skipped cluster's hits all sit at
+    t >= its entry > every lane's best.  Lanes parked at the 3e33
+    dead-lane origin (search_and_record) are excluded from the max via
+    their overflowing |o|^2; a genuinely-missing live lane holds
+    T_MISS and correctly disables the exit.  The winner rule
+    tie-breaks on global column id, which is order-invariant (and a
+    no-op in ascending-cid order), so results are bitwise identical
+    with pruning on or off.
     """
     blk = pl.program_id(0)
     n_slots = cnt_ref[blk]
@@ -92,7 +105,10 @@ def _res_kernel(distinct_kinds, t_min, kcap, m_ref, cnt_ref,
     cb_ref[:] = jnp.full(cb_ref.shape, -1, jnp.int32)
     pb_ref[:] = jnp.zeros(pb_ref.shape, jnp.float32)
 
-    def slot(j, _):
+    # parked dead lanes: origin 3e33 -> |o|^2 overflows f32 to +inf
+    live = onorm < np.float32(1e30)  # (rb, 1)
+
+    def slot(j):
         word = m_ref[blk * kcap + j]
         # bit ops, not rem/div: scalar-core integer division lowers
         # poorly (measured 2.8x whole-chunk regression on SphereField)
@@ -111,9 +127,14 @@ def _res_kernel(distinct_kinds, t_min, kcap, m_ref, cnt_ref,
             if q_domain:
                 gt = jnp.where(gt >= T_MISS, T_MISS, gt / dnorm)
             cur = tb_ref[:]
-            take = gt < cur
+            gcol = gc + cl * GROUP
+            # strict improvement + lowest-global-column tie-break (the
+            # tie-break is what makes the winner independent of slot
+            # order; in cid-ascending order later slots always have
+            # higher columns, so it changes nothing there)
+            take = (gt < cur) | ((gt == cur) & (gcol < cb_ref[:]))
             tb_ref[:] = jnp.where(take, gt, cur)
-            cb_ref[:] = jnp.where(take, gc + cl * GROUP, cb_ref[:])
+            cb_ref[:] = jnp.where(take, gcol, cb_ref[:])
             onehot = (iota == gc).astype(jnp.float32)  # (rb, GROUP)
             # (rb, GROUP) x (PAY_W, GROUP) contracted over GROUP: the
             # payload rides VMEM transposed so its minor dim is C (no
@@ -153,9 +174,27 @@ def _res_kernel(distinct_kinds, t_min, kcap, m_ref, cnt_ref,
                         kconst, onorm, odot, dnorm, t_min,
                     )
                     finish(tgs, False)
-        return 0
 
-    jax.lax.fori_loop(0, n_slots, slot, 0)
+    if tprune:
+        def live_tmax():
+            return jnp.max(jnp.where(live, tb_ref[:], -T_MISS))
+
+        def cond(carry):
+            j, tmax = carry
+            return (j < n_slots) & (ent_ref[blk * kcap + j] <= tmax)
+
+        def body(carry):
+            j, _ = carry
+            slot(j)
+            return j + 1, live_tmax()
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), live_tmax()))
+    else:
+        def fbody(j, _):
+            slot(j)
+            return 0
+
+        jax.lax.fori_loop(0, n_slots, fbody, 0)
 
     t_ref[:] = tb_ref[:]
     c_ref[:] = cb_ref[:]
@@ -165,31 +204,32 @@ def _res_kernel(distinct_kinds, t_min, kcap, m_ref, cnt_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("distinct_kinds", "t_min", "block_rows", "kcap",
-                     "interpret"),
+                     "interpret", "tprune"),
 )
-def _closest_hit_resident(rays, a, b, const, payt, meta, counts, *,
+def _closest_hit_resident(rays, a, b, const, payt, meta, counts, ents, *,
                           distinct_kinds, t_min, block_rows, kcap,
-                          interpret):
+                          interpret, tprune):
     R8 = rays.shape[0]
     rb = block_rows * 128
     nblocks = R8 // rb
     C = a.shape[2]
 
-    kernel = functools.partial(_res_kernel, distinct_kinds, t_min, kcap)
+    kernel = functools.partial(_res_kernel, distinct_kinds, t_min, kcap,
+                               tprune)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nblocks,),
         in_specs=[
-            pl.BlockSpec((rb, 8), lambda i, m, c: (i, 0)),
-            pl.BlockSpec((3, 8, C), lambda i, m, c: (0, 0, 0)),
-            pl.BlockSpec((3, 8, C), lambda i, m, c: (0, 0, 0)),
-            pl.BlockSpec((8, C), lambda i, m, c: (0, 0)),
-            pl.BlockSpec((PAY_W, C), lambda i, m, c: (0, 0)),
+            pl.BlockSpec((rb, 8), lambda i, m, c, e: (i, 0)),
+            pl.BlockSpec((3, 8, C), lambda i, m, c, e: (0, 0, 0)),
+            pl.BlockSpec((3, 8, C), lambda i, m, c, e: (0, 0, 0)),
+            pl.BlockSpec((8, C), lambda i, m, c, e: (0, 0)),
+            pl.BlockSpec((PAY_W, C), lambda i, m, c, e: (0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((rb, 1), lambda i, m, c: (i, 0)),
-            pl.BlockSpec((rb, 1), lambda i, m, c: (i, 0)),
-            pl.BlockSpec((rb, PAY_W), lambda i, m, c: (i, 0)),
+            pl.BlockSpec((rb, 1), lambda i, m, c, e: (i, 0)),
+            pl.BlockSpec((rb, 1), lambda i, m, c, e: (i, 0)),
+            pl.BlockSpec((rb, PAY_W), lambda i, m, c, e: (i, 0)),
         ),
         scratch_shapes=[
             pltpu.VMEM((rb, 1), jnp.float32),
@@ -206,7 +246,7 @@ def _closest_hit_resident(rays, a, b, const, payt, meta, counts, *,
             jax.ShapeDtypeStruct((R8, PAY_W), jnp.float32),
         ),
         interpret=interpret,
-    )(meta, counts, rays, a, b, const, payt)
+    )(meta, counts, ents, rays, a, b, const, payt)
     return t[:, 0], c[:, 0], pay
 
 
@@ -232,8 +272,13 @@ def closest_hit_resident(tables: ProjTables, o, d, t_min, interpret=False,
     o_p = jnp.pad(o, ((0, Rp - R), (0, 0)))
     d_p = jnp.pad(d, ((0, Rp - R), (0, 0)))
     rays = _ray_matrix(o_p, d_p)
-    meta, overflow = build_pair_worklist(
-        tables.cluster_bounds, tables.group_kinds, o_p, d_p, t_min, rb, kcap
+    # block-level t-pruning (RPT_RES_TPRUNE=0 restores the round-2
+    # cid-ordered full sweep): slots sorted front-to-back + in-kernel
+    # early exit; results bitwise identical either way
+    tprune = os.environ.get("RPT_RES_TPRUNE", "1") == "1"
+    meta, ents, overflow = build_pair_worklist(
+        tables.cluster_bounds, tables.group_kinds, o_p, d_p, t_min, rb,
+        kcap, order="entry" if tprune else "cid",
     )
     nblocks = Rp // rb
     kcap_eff = meta.shape[1] // nblocks
@@ -249,8 +294,9 @@ def closest_hit_resident(tables: ProjTables, o, d, t_min, interpret=False,
     def run_resident(_):
         return _closest_hit_resident(
             rays, tables.a, tables.b, tables.const, tables.payload.T,
-            packed, counts, distinct_kinds=distinct, t_min=float(t_min),
-            block_rows=block_rows, kcap=kcap_eff, interpret=interpret,
+            packed, counts, ents, distinct_kinds=distinct,
+            t_min=float(t_min), block_rows=block_rows, kcap=kcap_eff,
+            interpret=interpret, tprune=tprune,
         )
 
     if kcap_eff >= G:

@@ -85,14 +85,24 @@ WL_KCAP = 12
 M_CID, M_KIND = 0, 1
 
 
-def build_pair_worklist(cluster_bounds, group_kinds, o, d, t_min, rb, kcap):
+def build_pair_worklist(cluster_bounds, group_kinds, o, d, t_min, rb, kcap,
+                        order="cid"):
     """Per-block cluster slot table.
 
     cluster_bounds: (6, G) per-cluster AABBs (padding clusters carry
     degenerate far-point boxes and never pass).  o, d: (Rp, 3) with Rp % rb == 0.
-    Returns (meta (2, W) int32, overflow bool) with
+    Returns (meta (2, W) int32, entry (W,) f32, overflow bool) with
     W = (Rp/rb) * min(kcap, G); slot rows are [cluster id (clamped),
-    prim kind (-1 = empty slot)], clusters ascending within a block.
+    prim kind (-1 = empty slot)].
+
+    ``order``: slot order within a block.  "cid": clusters ascending
+    (the round-2 layout).  "entry": ascending conservative entry
+    distance — the min over the block's rays of the slab-test entry t
+    (ray-parameter units, same domain as the kernel's t) — which is
+    what the v4 kernel's block-level t-pruning needs: once every live
+    lane's best t is closer than the next slot's entry, NO later slot
+    can improve any lane (bvh.rs:106-126's t_max tightening, at block
+    granularity).  ``entry`` is +inf for empty slots.
     """
     R = o.shape[0]
     G = cluster_bounds.shape[1]
@@ -109,25 +119,42 @@ def build_pair_worklist(cluster_bounds, group_kinds, o, d, t_min, rb, kcap):
         b1 = (cluster_bounds[3 + ax][None, :] - o[:, ax:ax + 1]) * inv_d[:, ax:ax + 1]
         lo = jnp.maximum(lo, jnp.minimum(b0, b1))
         hi = jnp.minimum(hi, jnp.maximum(b0, b1))
-    blockpass = (hi >= lo).reshape(nblocks, rb, G).any(axis=1)  # (nblocks, G)
-
-    # per-row stable compaction: slot by cumsum, scatter cluster ids
-    pos = jnp.cumsum(blockpass.astype(jnp.int32), axis=1) - 1
-    count = pos[:, -1] + 1
+    rowpass = hi >= lo
+    blockpass = rowpass.reshape(nblocks, rb, G).any(axis=1)  # (nblocks, G)
+    count = jnp.sum(blockpass.astype(jnp.int32), axis=1)
     overflow = jnp.any(count > kcap)
     W = nblocks * kcap
-    rowbase = jnp.arange(nblocks, dtype=jnp.int32)[:, None] * np.int32(kcap)
-    slot = jnp.where(blockpass & (pos < kcap), rowbase + pos, np.int32(W))
     colid = jnp.broadcast_to(
         jnp.arange(G, dtype=jnp.int32)[None, :], (nblocks, G)
     )
-    cid = jnp.full((W,), -1, jnp.int32).at[slot.reshape(-1)].set(
-        colid.reshape(-1), mode="drop"
-    )
+
+    if order == "entry":
+        # conservative per-(block, cluster) entry distance: min over
+        # passing rays of the slab entry t (nan-safe: a non-finite or
+        # failing row contributes +inf)
+        ent_row = jnp.where(rowpass, lo, jnp.float32(np.inf))
+        ent_blk = jnp.min(ent_row.reshape(nblocks, rb, G), axis=1)
+        key = jnp.where(blockpass, ent_blk, jnp.float32(np.inf))
+        skey, scol = jax.lax.sort((key, colid), dimension=1, num_keys=2)
+        cid = jnp.where(jnp.isfinite(skey[:, :kcap]), scol[:, :kcap],
+                        -1).reshape(-1)
+        entry = skey[:, :kcap].reshape(-1)
+    else:
+        # per-row stable compaction: slot by cumsum, scatter ids
+        pos = jnp.cumsum(blockpass.astype(jnp.int32), axis=1) - 1
+        rowbase = (
+            jnp.arange(nblocks, dtype=jnp.int32)[:, None] * np.int32(kcap)
+        )
+        slot = jnp.where(blockpass & (pos < kcap), rowbase + pos,
+                         np.int32(W))
+        cid = jnp.full((W,), -1, jnp.int32).at[slot.reshape(-1)].set(
+            colid.reshape(-1), mode="drop"
+        )
+        entry = jnp.full((W,), np.float32(t_min), jnp.float32)
     kinds_np = np.asarray((-1,) + tuple(group_kinds), np.int32)
     (kind,) = table_ops.lookup(cid + 1, jnp.asarray(kinds_np))
     meta = jnp.stack([jnp.maximum(cid, 0), kind])
-    return meta.astype(jnp.int32), overflow
+    return meta.astype(jnp.int32), entry, overflow
 
 
 def _pair_kernel(distinct_kinds, t_min, kcap, m_ref,
@@ -281,7 +308,7 @@ def closest_hit_pairs(tables: ProjTables, o, d, t_min, interpret=False,
     o_p = jnp.pad(o, ((0, Rp - R), (0, 0)))
     d_p = jnp.pad(d, ((0, Rp - R), (0, 0)))
     rays = _ray_matrix(o_p, d_p)
-    meta, overflow = build_pair_worklist(
+    meta, _ent, overflow = build_pair_worklist(
         tables.cluster_bounds, tables.group_kinds, o_p, d_p, t_min, rb, kcap
     )
     kcap_eff = meta.shape[1] // (Rp // rb)

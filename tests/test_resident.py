@@ -74,6 +74,33 @@ def test_resident_dead_parked_lanes():
     _assert_match(res2, res4)
 
 
+def test_resident_tprune_bitwise(monkeypatch):
+    """Block-level t-pruning (entry-sorted slots + in-kernel early
+    exit) must be bitwise-invisible: skipped clusters provably cannot
+    improve any lane, and the column tie-break makes the winner
+    slot-order-independent.  Mixed live/parked lanes exercise the
+    live-lane max exclusion."""
+    import jax
+    import jax.numpy as jnp
+
+    scene = _mixed_scene(300, 40, 260, seed=7)
+    tables = _tables(scene)
+    o, d = _rays(4096, seed=21)
+    o = np.asarray(o).copy()
+    o[1024:1536] = 3.0e33  # parked (dead) lanes mid-wavefront
+    o = jnp.asarray(o)
+    results = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("RPT_RES_TPRUNE", flag)
+        jax.clear_caches()
+        results[flag] = closest_hit_resident(tables, o, d, 1e-3,
+                                             interpret=True)
+    monkeypatch.delenv("RPT_RES_TPRUNE")
+    for a, b in zip(results["1"], results["0"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    jax.clear_caches()
+
+
 def test_resident_matches_worklist_bitwise():
     """v4 and v3 enumerate identical slot lists -> bitwise-equal t."""
     from rust_pathtracer_tpu.ops.worklist import closest_hit_pairs
