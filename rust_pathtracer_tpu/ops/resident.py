@@ -101,12 +101,17 @@ def _res_kernel(distinct_kinds, t_min, kcap, tprune, m_ref, cnt_ref,
     odot = jnp.sum(o * d, axis=-1, keepdims=True)
     dnorm = jnp.sum(d * d, axis=-1, keepdims=True)
 
-    tb_ref[:] = jnp.full(tb_ref.shape, T_MISS, jnp.float32)
+    # tb init: T_MISS for live lanes, -T_MISS for lanes parked at the
+    # 3e33 dead-lane origin (|o|^2 overflows f32 to +inf) — the
+    # pruning max over tb then excludes parked lanes with no extra
+    # mask temp (every VMEM byte counts: the kernel sits within ~0.5M
+    # of the 16M scoped limit at ModelTest's C=10240).  A parked lane
+    # never passes a slab test, so its column stays -1 and the caller
+    # masks it back to T_MISS.
+    parked = onorm >= np.float32(1e30)  # (rb, 1)
+    tb_ref[:] = jnp.where(parked, -T_MISS, T_MISS)
     cb_ref[:] = jnp.full(cb_ref.shape, -1, jnp.int32)
     pb_ref[:] = jnp.zeros(pb_ref.shape, jnp.float32)
-
-    # parked dead lanes: origin 3e33 -> |o|^2 overflows f32 to +inf
-    live = onorm < np.float32(1e30)  # (rb, 1)
 
     def slot(j):
         word = m_ref[blk * kcap + j]
@@ -176,9 +181,6 @@ def _res_kernel(distinct_kinds, t_min, kcap, tprune, m_ref, cnt_ref,
                     finish(tgs, False)
 
     if tprune:
-        def live_tmax():
-            return jnp.max(jnp.where(live, tb_ref[:], -T_MISS))
-
         def cond(carry):
             j, tmax = carry
             return (j < n_slots) & (ent_ref[blk * kcap + j] <= tmax)
@@ -186,9 +188,9 @@ def _res_kernel(distinct_kinds, t_min, kcap, tprune, m_ref, cnt_ref,
         def body(carry):
             j, _ = carry
             slot(j)
-            return j + 1, live_tmax()
+            return j + 1, jnp.max(tb_ref[:])
 
-        jax.lax.while_loop(cond, body, (jnp.int32(0), live_tmax()))
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.max(tb_ref[:])))
     else:
         def fbody(j, _):
             slot(j)

@@ -525,7 +525,7 @@ def _render_chunk_cascaded_static(scene, cam, base_key, sample_offset, bg,
 
 
 def _derive_cascade_schedule(occupancy, n_lanes, max_bounces, *,
-                             margin=AUTO_MARGIN, max_stages=6):
+                             margin=AUTO_MARGIN, max_stages=4):
     """Static cascade schedule from a measured occupancy histogram.
 
     ``occupancy[b]`` = lanes alive entering bounce b (one chunk).  For
@@ -539,7 +539,10 @@ def _derive_cascade_schedule(occupancy, n_lanes, max_bounces, *,
     pool (a near-full-width slice materialization costs more than the
     shrink saves — the measured-negative b1 experiments), then a new
     boundary whenever the width drops another >=1.4x (carried-sort
-    boundaries are cheap at compacted widths), up to ``max_stages``.
+    boundaries are cheap at compacted widths), up to ``max_stages``
+    (capped low: tail boundaries beyond ~4 are a measured runtime
+    wash but each inflates the one-jit cascade graph and its
+    multi-minute remote compile).
     Returns a "b:s,b:s" string or None when no boundary pays.
 
     ``margin`` (default AUTO_MARGIN) can sit close to 1: the renderer
