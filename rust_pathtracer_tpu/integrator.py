@@ -735,10 +735,13 @@ def trace(
             # fwd+bwd; unroll=4 regressed to 93.5 ms.  RPT_SCAN_UNROLL
             # overrides (trace-time env).
             unroll = int(os.environ.get("RPT_SCAN_UNROLL", "2"))
+            # RPT_SCAN_SPLIT_T=1: lax.scan's experimental transpose
+            # split (backward as two passes) — probe knob
+            split_t = os.environ.get("RPT_SCAN_SPLIT_T", "0") == "1"
             state, _ = jax.lax.scan(
                 lambda s, b: (step(s, b), None),
                 init, jnp.arange(max_bounces, dtype=jnp.int32),
-                unroll=unroll,
+                unroll=unroll, _split_transpose=split_t,
             )
         bounces_done = jnp.int32(max_bounces)
     else:
