@@ -272,6 +272,28 @@ def test_cascade_auto_schedule():
         assert AUTO_MARGIN * occ[b] <= w < AUTO_MARGIN * occ[b] + 128
 
 
+def test_derive_schedule_deterministic():
+    """derive_cascade_schedule is a pure function of (scene, camera,
+    settings, key): checkpointed renders re-derive on resume and must
+    land on the IDENTICAL schedule for bitwise resume."""
+    from rust_pathtracer_tpu.render import derive_cascade_schedule
+
+    sd = get_scene("CornellBox")
+    scene = sd.build()
+    cam = sd.camera_at(0.0)
+    s = RenderSettings(32, 32, 16, 12, (0.0, 0.0, 0.0), spp_chunk=4)
+    a = derive_cascade_schedule(scene, cam, s, jax.random.PRNGKey(9))
+    b = derive_cascade_schedule(scene, cam, s, jax.random.PRNGKey(9))
+    assert a == b
+    # a different key probes different jitter -> may differ, but must
+    # still parse (or be None)
+    c = derive_cascade_schedule(scene, cam, s, jax.random.PRNGKey(10))
+    if c is not None:
+        from rust_pathtracer_tpu.render import parse_cascade_schedule
+
+        parse_cascade_schedule(c)
+
+
 def test_cascade_auto_overflow_widens(monkeypatch):
     """When the probe-derived widths are too tight (forced via a tiny
     AUTO_MARGIN) the renderer OWNS the guard: it warns, re-derives at
