@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gif", action="store_true", help="assemble animation GIF")
     p.add_argument("--checkpoint", help="accumulation checkpoint file (exact resume)")
     p.add_argument(
+        "--checkpoint-every", type=int, default=1, metavar="CHUNKS",
+        help="persist every N sample chunks (each save costs a "
+             "device sync + a disk write; animations want ~32)",
+    )
+    p.add_argument(
         "--mesh", default=None, metavar="TILESxSAMPLES",
         help="shard over a device mesh, e.g. 4x2 (default: single device)",
     )
@@ -244,7 +249,8 @@ def main(argv=None) -> int:
                     )
 
                     return render_radiance_sharded_checkpointed(
-                        scene, cam, settings, key, mesh, ckpt_path
+                        scene, cam, settings, key, mesh, ckpt_path,
+                        checkpoint_every=args.checkpoint_every,
                     )
                 elif mesh is not None:
                     from rust_pathtracer_tpu.parallel import render_radiance_sharded
@@ -264,7 +270,8 @@ def main(argv=None) -> int:
                     )
 
                     return render_radiance_checkpointed(
-                        scene, cam, settings, key, ckpt_path
+                        scene, cam, settings, key, ckpt_path,
+                        checkpoint_every=args.checkpoint_every,
                     )
                 return render_radiance(scene, cam, settings, key)
 

@@ -137,6 +137,28 @@ def render_radiance_checkpointed(
             acc = jnp.asarray(ckpt.acc)
             segments = ckpt.segments
 
+    # segments / overflow accumulate ON DEVICE between checkpoints: a
+    # float() fetch is a ~100 ms host sync over the remote TPU tunnel,
+    # so the loop only syncs when it actually persists (every
+    # ``checkpoint_every`` chunks).  With checkpoint_every == 1 the
+    # auto mode keeps its per-chunk plain-path fallback (the save's
+    # sync is paid anyway); batched checkpoints check the accumulated
+    # overflow at each save and RAISE — callers like the CLI's pinned
+    # auto schedule catch CascadeOverflowError and re-derive.
+    seg_dev = jnp.float32(0.0)
+    overflow_dev = jnp.float32(0.0)
+
+    def guard():
+        if static_applies and not (auto and checkpoint_every == 1):
+            if float(overflow_dev) > 0.0:
+                from rust_pathtracer_tpu.render import CascadeOverflowError
+
+                raise CascadeOverflowError(
+                    f"static cascade schedule {schedule!r} dropped "
+                    f"{float(overflow_dev):.0f} live lanes in a "
+                    "checkpointed window: the image is biased."
+                )
+
     chunk_index = 0
     for s0 in range(start, spp, chunk):
         if use_cascade:
@@ -150,32 +172,23 @@ def render_radiance_checkpointed(
                 rr_start=settings.russian_roulette_start,
                 schedule=schedule,
             )
-            # the per-chunk host sync below (float(segments)) already
-            # serializes this loop, so the overflow fetch is free here
-            if static_applies and float(stats.occupancy[-1]) > 0.0:
-                if not auto:
-                    from rust_pathtracer_tpu.render import (
-                        CascadeOverflowError,
+            if static_applies and auto and checkpoint_every == 1:
+                # per-chunk guard: an overflowing auto chunk
+                # re-renders on the always-exact plain path,
+                # preserving bitwise resume
+                if float(stats.occupancy[-1]) > 0.0:
+                    part, stats = _render_chunk(
+                        scene, cam, key, jnp.uint32(s0), bg,
+                        width=settings.width,
+                        height=settings.height,
+                        spp_chunk=chunk,
+                        spp_total=spp,
+                        max_bounces=settings.max_bounces,
+                        rr_start=settings.russian_roulette_start,
+                        differentiable=False,
                     )
-
-                    raise CascadeOverflowError(
-                        f"static cascade schedule {schedule!r} dropped "
-                        f"{float(stats.occupancy[-1]):.0f} live lanes "
-                        "in a checkpointed chunk: the image is biased."
-                    )
-                # auto: re-render just this chunk on the (always
-                # exact) plain path — per-lane radiance is identical,
-                # so resume bitwise-exactness is preserved
-                part, stats = _render_chunk(
-                    scene, cam, key, jnp.uint32(s0), bg,
-                    width=settings.width,
-                    height=settings.height,
-                    spp_chunk=chunk,
-                    spp_total=spp,
-                    max_bounces=settings.max_bounces,
-                    rr_start=settings.russian_roulette_start,
-                    differentiable=False,
-                )
+            elif static_applies:
+                overflow_dev = overflow_dev + stats.occupancy[-1]
         else:
             part, stats = _render_chunk(
                 scene, cam, key, jnp.uint32(s0), bg,
@@ -188,9 +201,10 @@ def render_radiance_checkpointed(
                 differentiable=settings.differentiable,
             )
         acc = acc + part
-        segments += float(stats.segments)
+        seg_dev = seg_dev + stats.segments
         chunk_index += 1
         if chunk_index % checkpoint_every == 0:
+            guard()
             save_checkpoint(
                 checkpoint_path,
                 RenderCheckpoint(
@@ -200,9 +214,11 @@ def render_radiance_checkpointed(
                     height=settings.height,
                     spp_total=spp,
                     key_data=key_data,
-                    segments=segments,
+                    segments=segments + float(seg_dev),
                 ),
             )
+    guard()
+    segments += float(seg_dev)
 
     img = (acc / jnp.float32(spp)).reshape(settings.height, settings.width, 3)
     from rust_pathtracer_tpu.integrator import MAX_BOUNCE_STATS
