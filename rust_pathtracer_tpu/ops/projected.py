@@ -867,25 +867,6 @@ def use_worklist(tables: ProjTables) -> bool:
     return n_real >= 2
 
 
-def use_topk(tables: ProjTables) -> bool:
-    """Static routing to the v6 top-K entry-ordered kernel
-    (ops/topk.py): opt-in via RPT_V6=1 until its on-chip A/B lands.
-    Sweeps each ray's K nearest passing clusters + a provably-bounded
-    fixup — the per-ray volume bound with fast-primitive build."""
-    import os
-
-    return os.environ.get("RPT_V6", "0") == "1"
-
-
-def use_queue(tables: ProjTables) -> bool:
-    """Static routing to the v5 pair-queue kernel (ops/queue.py):
-    opt-in via RPT_V5=1 until its on-chip A/B lands.  Sweeps at the
-    per-ray volume bound instead of the block-union bound."""
-    import os
-
-    return os.environ.get("RPT_V5", "0") == "1"
-
-
 def use_resident(tables: ProjTables) -> bool:
     """Static routing to the v4 table-resident kernel (ops/resident.py):
     on when the projected tables fit the VMEM budget and the scene has
@@ -915,19 +896,12 @@ def closest_hit_record_projected(scene, o, d, t_min, interpret=False):
     """
     from rust_pathtracer_tpu.ops.intersect import record_from_rows
 
-    if use_topk(scene.proj):
-        from rust_pathtracer_tpu.ops.topk import closest_hit_topk
-
-        hit, t, pay, col = closest_hit_topk(
-            scene.proj, o, d, t_min, interpret, with_column=True
-        )
-    elif use_queue(scene.proj):
-        from rust_pathtracer_tpu.ops.queue import closest_hit_queue
-
-        hit, t, pay, col = closest_hit_queue(
-            scene.proj, o, d, t_min, interpret, with_column=True
-        )
-    elif use_resident(scene.proj):
+    # NOTE: the round-2 v5 pair-queue (ops/queue.py) and v6 top-K
+    # (ops/topk.py) kernels — per-ray-volume-bound sweeps that
+    # measured negative at full width (DESIGN.md §11) — were removed
+    # in round 3 after v4 gained block-level t-pruning; git history
+    # keeps them (commit "Prune the dormant v5/v6 kernel family").
+    if use_resident(scene.proj):
         from rust_pathtracer_tpu.ops.resident import closest_hit_resident
 
         hit, t, pay, col = closest_hit_resident(
