@@ -79,16 +79,16 @@ def _res_kernel(distinct_kinds, t_min, kcap, tprune, m_ref, cnt_ref,
 
     ``tprune`` (static): slots arrive sorted by conservative block
     entry distance (``ent_ref``, ray-parameter units) and the loop
-    EXITS once the next slot's entry exceeds every live lane's current
-    best t — the reference BVH's t_max tightening (bvh.rs:106-126) at
-    block granularity.  Exact: a skipped cluster's hits all sit at
-    t >= its entry > every lane's best.  Lanes parked at the 3e33
-    dead-lane origin (search_and_record) are excluded from the max via
-    their overflowing |o|^2; a genuinely-missing live lane holds
-    T_MISS and correctly disables the exit.  The winner rule
-    tie-breaks on global column id, which is order-invariant (and a
-    no-op in ascending-cid order), so results are bitwise identical
-    with pruning on or off.
+    EXITS once the next slot's entry exceeds every lane's
+    min(current best t, far bound) — the reference BVH's t_max
+    tightening (bvh.rs:106-126) at block granularity.  Exact: for a
+    lane bounded by its best t, later clusters' hits sit at
+    t >= entry > best; for a lane bounded by its FAR (the max slab
+    exit over the clusters it passes — -inf for sky rays and parked
+    dead lanes), any still-possible hit sits at t <= far < entry,
+    contradiction.  The winner rule tie-breaks on global column id,
+    which is order-invariant (a no-op in ascending-cid order), so
+    results are bitwise identical with pruning on or off.
     """
     blk = pl.program_id(0)
     n_slots = cnt_ref[blk]
@@ -101,17 +101,19 @@ def _res_kernel(distinct_kinds, t_min, kcap, tprune, m_ref, cnt_ref,
     odot = jnp.sum(o * d, axis=-1, keepdims=True)
     dnorm = jnp.sum(d * d, axis=-1, keepdims=True)
 
-    # tb init: T_MISS for live lanes, -T_MISS for lanes parked at the
-    # 3e33 dead-lane origin (|o|^2 overflows f32 to +inf) — the
-    # pruning max over tb then excludes parked lanes with no extra
-    # mask temp (every VMEM byte counts: the kernel sits within ~0.5M
-    # of the 16M scoped limit at ModelTest's C=10240).  A parked lane
-    # never passes a slab test, so its column stays -1 and the caller
-    # masks it back to T_MISS.
-    parked = onorm >= np.float32(1e30)  # (rb, 1)
-    tb_ref[:] = jnp.where(parked, -T_MISS, T_MISS)
+    tb_ref[:] = jnp.full(tb_ref.shape, T_MISS, jnp.float32)
     cb_ref[:] = jnp.full(cb_ref.shape, -1, jnp.int32)
     pb_ref[:] = jnp.zeros(pb_ref.shape, jnp.float32)
+
+    # per-lane FAR bound riding ray column 7 (projection rows 7 of
+    # a/b are all zero, so the value is inert in every matmul): the
+    # max slab exit over the lane's own passing clusters.  The
+    # pruning exit uses min(best t, far) per lane — a lane that can
+    # only hit nearby clusters (or nothing: far = -inf for sky rays
+    # and parked dead lanes) stops blocking the block's early exit.
+    # Without it a single miss lane held the max at T_MISS and the
+    # exit never fired on open scenes (measured: no win on ModelTest).
+    far = rays[:, 7:8]  # (rb, 1)
 
     def slot(j):
         word = m_ref[blk * kcap + j]
@@ -188,9 +190,11 @@ def _res_kernel(distinct_kinds, t_min, kcap, tprune, m_ref, cnt_ref,
         def body(carry):
             j, _ = carry
             slot(j)
-            return j + 1, jnp.max(tb_ref[:])
+            return j + 1, jnp.max(jnp.minimum(tb_ref[:], far))
 
-        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.max(tb_ref[:])))
+        jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.max(jnp.minimum(tb_ref[:], far)))
+        )
     else:
         def fbody(j, _):
             slot(j)
@@ -273,15 +277,19 @@ def closest_hit_resident(tables: ProjTables, o, d, t_min, interpret=False,
     Rp = _pad_up(R, rb)
     o_p = jnp.pad(o, ((0, Rp - R), (0, 0)))
     d_p = jnp.pad(d, ((0, Rp - R), (0, 0)))
-    rays = _ray_matrix(o_p, d_p)
     # block-level t-pruning (RPT_RES_TPRUNE=0 restores the round-2
     # cid-ordered full sweep): slots sorted front-to-back + in-kernel
     # early exit; results bitwise identical either way
     tprune = os.environ.get("RPT_RES_TPRUNE", "1") == "1"
-    meta, ents, overflow = build_pair_worklist(
+    meta, ents, far, overflow = build_pair_worklist(
         tables.cluster_bounds, tables.group_kinds, o_p, d_p, t_min, rb,
         kcap, order="entry" if tprune else "cid",
     )
+    rays = _ray_matrix(o_p, d_p)
+    if tprune:
+        # the per-lane far bound rides ray column 7 (inert in every
+        # projection: a/b row 7 is all zero by construction)
+        rays = jnp.concatenate([rays[:, :7], far[:, None]], axis=1)
     nblocks = Rp // rb
     kcap_eff = meta.shape[1] // nblocks
     counts = jnp.sum(

@@ -91,9 +91,15 @@ def build_pair_worklist(cluster_bounds, group_kinds, o, d, t_min, rb, kcap,
 
     cluster_bounds: (6, G) per-cluster AABBs (padding clusters carry
     degenerate far-point boxes and never pass).  o, d: (Rp, 3) with Rp % rb == 0.
-    Returns (meta (2, W) int32, entry (W,) f32, overflow bool) with
-    W = (Rp/rb) * min(kcap, G); slot rows are [cluster id (clamped),
-    prim kind (-1 = empty slot)].
+    Returns (meta (2, W) int32, entry (W,) f32, far (Rp,) f32,
+    overflow bool) with W = (Rp/rb) * min(kcap, G); slot rows are
+    [cluster id (clamped), prim kind (-1 = empty slot)].  ``far`` is
+    the per-LANE upper bound on any possible hit distance: the max
+    slab exit over the lane's own passing clusters (-inf for a lane
+    passing none — dead/parked or sky rays).  The t-pruning exit uses
+    min(best t, far) per lane, so a lane that misses everything (or
+    can only hit nearby clusters) stops blocking the block's early
+    exit.
 
     ``order``: slot order within a block.  "cid": clusters ascending
     (the round-2 layout).  "entry": ascending conservative entry
@@ -120,6 +126,9 @@ def build_pair_worklist(cluster_bounds, group_kinds, o, d, t_min, rb, kcap,
         lo = jnp.maximum(lo, jnp.minimum(b0, b1))
         hi = jnp.minimum(hi, jnp.maximum(b0, b1))
     rowpass = hi >= lo
+    far = jnp.max(
+        jnp.where(rowpass, hi, -jnp.float32(np.inf)), axis=1
+    )  # (R,)
     blockpass = rowpass.reshape(nblocks, rb, G).any(axis=1)  # (nblocks, G)
     count = jnp.sum(blockpass.astype(jnp.int32), axis=1)
     overflow = jnp.any(count > kcap)
@@ -154,7 +163,7 @@ def build_pair_worklist(cluster_bounds, group_kinds, o, d, t_min, rb, kcap,
     kinds_np = np.asarray((-1,) + tuple(group_kinds), np.int32)
     (kind,) = table_ops.lookup(cid + 1, jnp.asarray(kinds_np))
     meta = jnp.stack([jnp.maximum(cid, 0), kind])
-    return meta.astype(jnp.int32), entry, overflow
+    return meta.astype(jnp.int32), entry, far, overflow
 
 
 def _pair_kernel(distinct_kinds, t_min, kcap, m_ref,
@@ -308,7 +317,7 @@ def closest_hit_pairs(tables: ProjTables, o, d, t_min, interpret=False,
     o_p = jnp.pad(o, ((0, Rp - R), (0, 0)))
     d_p = jnp.pad(d, ((0, Rp - R), (0, 0)))
     rays = _ray_matrix(o_p, d_p)
-    meta, _ent, overflow = build_pair_worklist(
+    meta, _ent, _far, overflow = build_pair_worklist(
         tables.cluster_bounds, tables.group_kinds, o_p, d_p, t_min, rb, kcap
     )
     kcap_eff = meta.shape[1] // (Rp // rb)

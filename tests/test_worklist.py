@@ -108,7 +108,7 @@ def test_worklist_build_structure():
     tables = _tables(scene)
     o, d = _rays(4096, seed=9)
     rb, kcap = 2048, 12
-    meta, _ent, overflow = build_pair_worklist(
+    meta, _ent, _far, overflow = build_pair_worklist(
         tables.cluster_bounds, tables.group_kinds,
         jnp.asarray(o), jnp.asarray(d), 1e-3, rb, kcap,
     )

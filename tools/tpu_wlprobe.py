@@ -48,7 +48,7 @@ Rp = _pad_up(n, rb)
 o_p = jnp.pad(o, ((0, Rp - n), (0, 0)))
 d_p = jnp.pad(d, ((0, Rp - n), (0, 0)))
 rays = _ray_matrix(o_p, d_p)
-meta, _ent, overflow = build_pair_worklist(
+meta, _ent, _far, overflow = build_pair_worklist(
     tables.cluster_bounds, tables.group_kinds, o_p, d_p, 1e-3, rb, 12
 )
 kcap_eff = meta.shape[1] // (Rp // rb)
