@@ -310,6 +310,10 @@ def main(argv=None) -> int:
             if args.timing_log:
                 import json
 
+                os.makedirs(
+                    os.path.dirname(os.path.abspath(args.timing_log)),
+                    exist_ok=True,
+                )
                 with open(args.timing_log, "a") as f:
                     f.write(json.dumps({
                         "frame": frame,
