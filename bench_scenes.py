@@ -67,10 +67,16 @@ def main():
         ("LightTest", {}, 512, 512, 256, 50, False, None, "regen"),
         ("CornellBox", {}, 512, 512, 1024, 20, False, None, "chunked"),
         ("ModelTest", {"obj_path": objp}, 512, 512, 256, 20, False, 4,
-         "cascade:1:1,2:8,3:16,4:32,5:256"),
+         "cascade:auto"),
         ("SphereField", {}, 1280, 720, 512, 20, True, 4,
-         "cascade:2:2,3:3,4:5,5:10,9:80"),
+         "cascade:auto"),
     ]
+    # Schedules are AUTO-derived (render.derive_cascade_schedule probe)
+    # since round 3: measured same-day on v5e ModelTest, auto
+    # 0.2298 s/chunk vs hand-tuned "1:1,2:8,3:16,4:32,5:256"
+    # 0.2303 — parity.  The renderer's overflow guard re-derives and
+    # re-renders if a derived schedule ever drops a live lane, so the
+    # assert below can only fire on a logic bug, not occupancy drift.
     key = jax.random.PRNGKey(0)
 
     for name, kwargs, w, h, spp, bounces, rebuild, rr, mode in configs:
