@@ -101,19 +101,28 @@ def _res_kernel(distinct_kinds, t_min, kcap, tprune, m_ref, cnt_ref,
     odot = jnp.sum(o * d, axis=-1, keepdims=True)
     dnorm = jnp.sum(d * d, axis=-1, keepdims=True)
 
-    tb_ref[:] = jnp.full(tb_ref.shape, T_MISS, jnp.float32)
+    # The per-lane FAR bound (max slab exit over the lane's own
+    # passing clusters; -inf when it passes none — sky rays, parked
+    # dead lanes) rides ray column 7 (projection rows 7 of a/b are
+    # all zero, so it is inert in every matmul).  Rather than keeping
+    # it as a separate (rb, 1) buffer — which pads to 128 lanes and
+    # blew the 16M scoped-VMEM budget by 608K — the running best is
+    # INITIALIZED to min(T_MISS, just-above-far): any real hit sits
+    # at t <= exit <= far so nothing takeable is lost (the 1-ulp
+    # upward nudge keeps a hit exactly AT the bound takeable), miss
+    # lanes then carry ~far, and max(tb) IS the pruning bound
+    # max(min(best t, far)).  Outputs are unchanged: miss lanes keep
+    # column -1 and the caller masks their t back to T_MISS.  Without
+    # the far bound a single miss lane held the max at T_MISS and the
+    # exit never fired on open scenes (measured: no win on ModelTest).
+    if tprune:
+        cap = rays[:, 7:8] * np.float32(1.0000002)
+        tb_ref[:] = jnp.minimum(jnp.float32(T_MISS), cap)
+    else:
+        # without pruning, ray col 7 is the constant 0 — plain init
+        tb_ref[:] = jnp.full(tb_ref.shape, T_MISS, jnp.float32)
     cb_ref[:] = jnp.full(cb_ref.shape, -1, jnp.int32)
     pb_ref[:] = jnp.zeros(pb_ref.shape, jnp.float32)
-
-    # per-lane FAR bound riding ray column 7 (projection rows 7 of
-    # a/b are all zero, so the value is inert in every matmul): the
-    # max slab exit over the lane's own passing clusters.  The
-    # pruning exit uses min(best t, far) per lane — a lane that can
-    # only hit nearby clusters (or nothing: far = -inf for sky rays
-    # and parked dead lanes) stops blocking the block's early exit.
-    # Without it a single miss lane held the max at T_MISS and the
-    # exit never fired on open scenes (measured: no win on ModelTest).
-    far = rays[:, 7:8]  # (rb, 1)
 
     def slot(j):
         word = m_ref[blk * kcap + j]
@@ -190,10 +199,10 @@ def _res_kernel(distinct_kinds, t_min, kcap, tprune, m_ref, cnt_ref,
         def body(carry):
             j, _ = carry
             slot(j)
-            return j + 1, jnp.max(jnp.minimum(tb_ref[:], far))
+            return j + 1, jnp.max(tb_ref[:])
 
         jax.lax.while_loop(
-            cond, body, (jnp.int32(0), jnp.max(jnp.minimum(tb_ref[:], far)))
+            cond, body, (jnp.int32(0), jnp.max(tb_ref[:]))
         )
     else:
         def fbody(j, _):
