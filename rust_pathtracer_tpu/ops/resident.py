@@ -286,10 +286,14 @@ def closest_hit_resident(tables: ProjTables, o, d, t_min, interpret=False,
     Rp = _pad_up(R, rb)
     o_p = jnp.pad(o, ((0, Rp - R), (0, 0)))
     d_p = jnp.pad(d, ((0, Rp - R), (0, 0)))
-    # block-level t-pruning (RPT_RES_TPRUNE=0 restores the round-2
-    # cid-ordered full sweep): slots sorted front-to-back + in-kernel
-    # early exit; results bitwise identical either way
-    tprune = os.environ.get("RPT_RES_TPRUNE", "1") == "1"
+    # block-level t-pruning (RPT_RES_TPRUNE=1 opts in): slots sorted
+    # front-to-back + in-kernel early exit vs min(best t, per-lane
+    # far bound); results bitwise identical either way.  MEASURED
+    # WASH on v5e (ModelTest cascaded chunk, same-day controls:
+    # tprune 0.2329-0.2333 s/chunk vs 0.2303 full sweep; DESIGN.md
+    # §12) — the while-loop's per-slot serialization cancels the
+    # skipped sweeps, and compiles run ~17 min vs ~10.  Default OFF.
+    tprune = os.environ.get("RPT_RES_TPRUNE", "0") == "1"
     meta, ents, far, overflow = build_pair_worklist(
         tables.cluster_bounds, tables.group_kinds, o_p, d_p, t_min, rb,
         kcap, order="entry" if tprune else "cid",
