@@ -48,7 +48,16 @@ def main():
         n += 1
     for i in range(0, n, args.gif_stride):
         img = read_png(frame_path(args.frames_dir, i))
-        frames.append(img[:: args.gif_scale, :: args.gif_scale])
+        k = args.gif_scale
+        if k > 1:
+            # box-filter downscale (nearest subsampling aliases the
+            # checker ground badly in motion)
+            h, w = (img.shape[0] // k) * k, (img.shape[1] // k) * k
+            img = (
+                img[:h, :w].reshape(h // k, k, w // k, k, 3)
+                .astype(np.float32).mean(axis=(1, 3))
+            ).astype(np.uint8)
+        frames.append(img)
     gif_path = os.path.join(args.out_dir, "preview.gif")
     write_gif(gif_path, frames, fps=args.fps / args.gif_stride)
 
