@@ -87,10 +87,24 @@ def main():
             f"- preview: preview.gif (every {args.gif_stride}rd frame, "
             f"1/{args.gif_scale} scale; full-res PNGs not committed — "
             "the reference stripped its own GIF as a large blob)\n\n"
-            "## Frame-time distribution\n\n```\n"
+            "## Frame-time distribution\n\n"
         )
-        hist, edges = np.histogram(secs[1:] if len(secs) > 1 else secs,
-                                   bins=10)
+        body = secs[1:] if len(secs) > 1 else secs
+        cut = 3.0 * pct(50)
+        outliers = [(int(r["frame"]), r["seconds"]) for r in rows[1:]
+                    if r["seconds"] > cut]
+        steady = body[body <= cut]
+        if len(outliers):
+            f.write(
+                "Outlier frames (>3x p50 — compile events: the pinned "
+                "auto schedule re-derives + recompiles when the camera "
+                "orbit drifts occupancy past it, the overflow guard "
+                "catching it before any bias): "
+                + ", ".join(f"frame {i}: {s:.0f} s" for i, s in outliers)
+                + "\n\n"
+            )
+        f.write("```\n")
+        hist, edges = np.histogram(steady, bins=10)
         for h, e0, e1 in zip(hist, edges[:-1], edges[1:]):
             bar = "#" * int(1 + 40 * h / max(hist.max(), 1))
             f.write(f"{e0:6.2f}-{e1:6.2f} s  {bar} {h}\n")
