@@ -622,10 +622,16 @@ def derive_cascade_schedule(scene, cam, settings, key, background=None,
     npix = settings.width * settings.height
     stride = max(1, npix // AUTO_PROBE_TARGET)
     pix = np.arange(0, npix, stride, dtype=np.uint32)
+    # spp_total=1: the probe's RNG counters must NOT depend on the
+    # render's sample count, or two renders of the same scene at
+    # different spp derive (slightly) different schedules — each
+    # distinct schedule string is a fresh multi-minute cascade
+    # compile (bench_scenes' warm pass at chunk-spp then timed pass
+    # at full spp paid exactly that: a 688 s "frame")
     _, stats = _probe_chunk(
         scene, cam, key, pix, bg,
         width=settings.width, height=settings.height,
-        spp_total=settings.samples_per_pixel,
+        spp_total=1,
         max_bounces=settings.max_bounces,
         rr_start=settings.russian_roulette_start,
     )
