@@ -151,6 +151,12 @@ def main(argv=None) -> int:
         overrides["spp_chunk"] = args.spp_chunk
     if args.russian_roulette is not None:
         overrides["russian_roulette_start"] = args.russian_roulette
+    if args.regen and args.mesh:
+        # render_one's branch order would silently pick the sharded
+        # path and ignore --regen; fail loudly instead
+        build_parser().error("--mesh and --regen are mutually exclusive "
+                             "renderer modes (the regeneration wavefront "
+                             "is single-chip)")
     if args.cascade is not None:
         if args.regen:
             p = build_parser()

@@ -155,6 +155,13 @@ def _analytic_t(kind, aux, data, o, d, t_det, prim_types):
     rect: the fixed-axis unit vector; triangle: e1 x e2.  Scene
     geometry itself is not a differentiable leaf (grad.py DiffParams),
     so n under stop_gradient loses nothing.
+
+    GEOMETRY-GRADIENT LIMITATION: because n, t_det and the primitive
+    rows are all stop-gradiented here, d(t)/d(scene.prims.data) is
+    ZERO under this default — a caller differentiating directly w.r.t.
+    raw primitive arrays (not a DiffParams leaf) silently loses the
+    hit-distance term.  Set RPT_DIFF_T=rederive to restore the round-2
+    differentiable re-intersection, which carries it.
     """
     from rust_pathtracer_tpu.ops.intersect import (
         PRIM_RECT,
@@ -616,6 +623,13 @@ def trace(
     origins, directions: (R, 3); lane_keys: (R, 2) counter-based keys;
     background: (3,) miss color (scene.rs ImageSettings.background).
     Returns (radiance (R, 3), TraceStats).
+
+    Differentiable w.r.t. the official DiffParams leaves (textures,
+    camera-derived origins/directions, background) — exact to first
+    order.  NOTE: under the default RPT_DIFF_T=analytic, gradients
+    taken directly w.r.t. raw primitive arrays (scene.prims.data) omit
+    the hit-distance term d(t)/d(geometry) (see _analytic_t); use
+    RPT_DIFF_T=rederive for full geometry gradients.
     """
     background = jnp.asarray(background, jnp.float32)
     rr_start = (

@@ -43,7 +43,8 @@ import jax.numpy as jnp
 # (small ones aren't worth the cast ops)
 MIN_COMPRESS_ELEMS = 1 << 15
 
-_CONVERTED = {}  # avals key -> (converted_fn, ct_treedef)
+_CONVERTED = {}  # (wrapper token, avals key) -> converted_fn
+_NEXT_TOKEN = [0]  # per-compressed_fn identity (see compressed_fn)
 
 
 def _is_float32(x):
@@ -128,6 +129,15 @@ def compressed_fn(fn):
     """Wrap pure ``fn(*args) -> out`` so reverse-mode residuals are
     stored in bfloat16.  Primal outputs are bitwise ``fn``'s."""
 
+    # per-wrapper identity in the cache key: two compressed_fn-wrapped
+    # functions with IDENTICAL residual/cotangent avals but different
+    # logic (e.g. same-shape renders with different rr_start closed
+    # over, both traced before either backward) must not collide —
+    # an aval-only key let the second forward overwrite the first's
+    # entry, silently applying the wrong linear function in backward
+    token = _NEXT_TOKEN[0]
+    _NEXT_TOKEN[0] += 1
+
     @jax.custom_vjp
     def g(*args):
         return fn(*args)
@@ -136,7 +146,7 @@ def compressed_fn(fn):
         out, vjp = jax.vjp(fn, *args)
         ct_ex = _ct_example(out)
         converted, consts = _hoist_all(vjp, ct_ex)
-        key = _avals_key((ct_ex, tuple(consts)))
+        key = (token, _avals_key((ct_ex, tuple(consts))))
         # only the converted linear function and static metadata go in
         # the side table — the ARRAYS themselves are the residuals.
         # Saving `args` too would force every input saved alongside.
@@ -145,7 +155,7 @@ def compressed_fn(fn):
 
     def g_bwd(consts_c, ct):
         consts = [_decompress(c) for c in consts_c]
-        key = _avals_key((ct, tuple(consts)))
+        key = (token, _avals_key((ct, tuple(consts))))
         converted = _CONVERTED.get(key)
         if converted is None:
             raise RuntimeError(

@@ -68,8 +68,9 @@ class ShardedChunkPlan:
         # (integrator.trace_cascaded_static), so each tile compacts its
         # own lanes with zero cross-shard communication; the
         # occupancy[-1] overflow guard psums across shards.  "auto" is
-        # resolved by render_radiance_sharded (chunk-0 calibration with
-        # worst-shard pmax occupancy) BEFORE plan construction —
+        # resolved by render_radiance_sharded and
+        # render_radiance_sharded_checkpointed (chunk-0 calibration
+        # with worst-shard pmax occupancy) BEFORE plan construction —
         # explicit schedules only here.
         cascade_stages = None
         if not settings.differentiable and (
@@ -259,7 +260,12 @@ def render_radiance_sharded(
         if not plan1.cascade_stages:
             break
         totals = _run_chunks(plan1, 1, (a0, s0, b0, o0))
-        if float(totals[3][-1]) == 0.0:
+        # overflow = the CASCADED chunks' guard slot only: chunk 0 ran
+        # on the plain path, where occupancy[-1] is a real alive count
+        # whenever max_bounces >= MAX_BOUNCE_STATS - 1 (the histogram
+        # clamps deeper bounces into the last slot) — counting it
+        # would spuriously "overflow" every deep-bounce auto render
+        if float(totals[3][-1] - o0[-1]) == 0.0:
             return plan1.finalize(*totals)
         warnings.warn(
             f"sharded auto cascade schedule {sched!r} dropped "

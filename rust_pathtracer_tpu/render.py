@@ -764,7 +764,11 @@ def render_radiance(
 ):
     """Linear-space mean radiance image (H, W, 3) + TraceStats.
 
-    Differentiable w.r.t. scene arrays / camera / background.
+    Differentiable w.r.t. the DiffParams leaves (textures / camera /
+    background) — the supported gradient surface (grad.py).  Gradients
+    taken directly w.r.t. raw primitive arrays omit the hit-distance
+    term under the default analytic-t path; set RPT_DIFF_T=rederive
+    for full geometry gradients (integrator._analytic_t).
 
     Static-cascade safety: the renderer OWNS the overflow guard.  With
     an explicit schedule, any dropped live lane (occupancy[-1] > 0)

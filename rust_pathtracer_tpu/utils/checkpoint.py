@@ -140,17 +140,36 @@ def render_radiance_checkpointed(
     # segments / overflow accumulate ON DEVICE between checkpoints: a
     # float() fetch is a ~100 ms host sync over the remote TPU tunnel,
     # so the loop only syncs when it actually persists (every
-    # ``checkpoint_every`` chunks).  With checkpoint_every == 1 the
-    # auto mode keeps its per-chunk plain-path fallback (the save's
-    # sync is paid anyway); batched checkpoints check the accumulated
-    # overflow at each save and RAISE — callers like the CLI's pinned
-    # auto schedule catch CascadeOverflowError and re-derive.
+    # ``checkpoint_every`` chunks).  The window guard runs at each
+    # save: an EXPLICIT schedule that dropped live lanes raises
+    # CascadeOverflowError (callers like the CLI's pinned auto
+    # schedule catch it and re-derive); an "auto" schedule re-renders
+    # the whole window on the always-exact plain path instead — the
+    # recovery is a deterministic function of (scene, cam, key, chunk
+    # range), so resume stays bitwise-exact and overflow is never
+    # surfaced for a schedule the renderer itself derived.
     seg_dev = jnp.float32(0.0)
     overflow_dev = jnp.float32(0.0)
+    # rollback state at the last checkpoint + the window's chunk starts
+    acc_save, seg_save = acc, seg_dev
+    window: list = []
 
-    def guard():
-        if static_applies and not (auto and checkpoint_every == 1):
-            if float(overflow_dev) > 0.0:
+    def plain_chunk(s0):
+        return _render_chunk(
+            scene, cam, key, jnp.uint32(s0), bg,
+            width=settings.width,
+            height=settings.height,
+            spp_chunk=chunk,
+            spp_total=spp,
+            max_bounces=settings.max_bounces,
+            rr_start=settings.russian_roulette_start,
+            differentiable=settings.differentiable,
+        )
+
+    def guard(acc, seg_dev, overflow_dev):
+        """Returns (acc, seg_dev) with the window made exact."""
+        if static_applies and float(overflow_dev) > 0.0:
+            if not auto:
                 from rust_pathtracer_tpu.render import CascadeOverflowError
 
                 raise CascadeOverflowError(
@@ -158,9 +177,18 @@ def render_radiance_checkpointed(
                     f"{float(overflow_dev):.0f} live lanes in a "
                     "checkpointed window: the image is biased."
                 )
+            # auto recovery: discard the window's biased chunks and
+            # re-render them on the plain path
+            acc, seg_dev = acc_save, seg_save
+            for s0w in window:
+                part, stats = plain_chunk(s0w)
+                acc = acc + part
+                seg_dev = seg_dev + stats.segments
+        return acc, seg_dev
 
     chunk_index = 0
     for s0 in range(start, spp, chunk):
+        window.append(s0)
         if use_cascade:
             part, stats = _render_chunk_cascaded(
                 scene, cam, key, jnp.uint32(s0), bg,
@@ -172,39 +200,18 @@ def render_radiance_checkpointed(
                 rr_start=settings.russian_roulette_start,
                 schedule=schedule,
             )
-            if static_applies and auto and checkpoint_every == 1:
-                # per-chunk guard: an overflowing auto chunk
-                # re-renders on the always-exact plain path,
-                # preserving bitwise resume
-                if float(stats.occupancy[-1]) > 0.0:
-                    part, stats = _render_chunk(
-                        scene, cam, key, jnp.uint32(s0), bg,
-                        width=settings.width,
-                        height=settings.height,
-                        spp_chunk=chunk,
-                        spp_total=spp,
-                        max_bounces=settings.max_bounces,
-                        rr_start=settings.russian_roulette_start,
-                        differentiable=False,
-                    )
-            elif static_applies:
+            if static_applies:
                 overflow_dev = overflow_dev + stats.occupancy[-1]
         else:
-            part, stats = _render_chunk(
-                scene, cam, key, jnp.uint32(s0), bg,
-                width=settings.width,
-                height=settings.height,
-                spp_chunk=chunk,
-                spp_total=spp,
-                max_bounces=settings.max_bounces,
-                rr_start=settings.russian_roulette_start,
-                differentiable=settings.differentiable,
-            )
+            part, stats = plain_chunk(s0)
         acc = acc + part
         seg_dev = seg_dev + stats.segments
         chunk_index += 1
         if chunk_index % checkpoint_every == 0:
-            guard()
+            acc, seg_dev = guard(acc, seg_dev, overflow_dev)
+            overflow_dev = jnp.float32(0.0)
+            acc_save, seg_save = acc, seg_dev
+            window = []
             save_checkpoint(
                 checkpoint_path,
                 RenderCheckpoint(
@@ -217,7 +224,7 @@ def render_radiance_checkpointed(
                     segments=segments + float(seg_dev),
                 ),
             )
-    guard()
+    acc, seg_dev = guard(acc, seg_dev, overflow_dev)
     segments += float(seg_dev)
 
     img = (acc / jnp.float32(spp)).reshape(settings.height, settings.width, 3)
@@ -252,10 +259,41 @@ def render_radiance_sharded_checkpointed(
     elastic-recovery slot of SURVEY §5 (the reference loses the whole
     frame on any crash, main.rs panics).
     """
+    import dataclasses
+
     import jax.numpy as jnp
 
     from rust_pathtracer_tpu.integrator import TraceStats
     from rust_pathtracer_tpu.parallel.shard import ShardedChunkPlan
+
+    # resolve cascade_schedule="auto" exactly like render_radiance_sharded:
+    # a chunk-0 calibration run on the plain path (worst-shard pmax
+    # occupancy -> per-shard widths).  The calibration is deterministic
+    # for a given (scene, cam, settings, key), so a resumed run derives
+    # the IDENTICAL schedule and resume stays bitwise-exact (the
+    # calibration chunk's radiance is discarded — it only measures).
+    plan_plain = None
+    if settings.cascade_schedule == "auto" and not settings.differentiable:
+        from rust_pathtracer_tpu.render import (
+            AUTO_MARGIN,
+            _derive_cascade_schedule,
+            _maybe_prepend_reorder,
+        )
+
+        plain = dataclasses.replace(settings, cascade=False,
+                                    cascade_schedule=None)
+        plan_plain = ShardedChunkPlan(scene, cam, plain, key, mesh)
+        sched = None
+        if plan_plain.n_chunks > 1:
+            *_unused, om0 = plan_plain.run_chunk(0)
+            sched = _derive_cascade_schedule(
+                np.asarray(om0), plan_plain.lanes_per_shard,
+                settings.max_bounces, margin=AUTO_MARGIN,
+            )
+            sched = _maybe_prepend_reorder(sched, scene)
+        settings = dataclasses.replace(
+            settings, cascade=sched is not None, cascade_schedule=sched
+        )
 
     plan = ShardedChunkPlan(scene, cam, settings, key, mesh)
     spp = settings.samples_per_pixel
@@ -287,17 +325,23 @@ def render_radiance_sharded_checkpointed(
     acc = jnp.asarray(acc_host)
     for c in range(start_chunk, plan.n_chunks):
         a, s, _b, o, _om = plan.run_chunk(c)
+        if plan.cascade_stages and float(o[-1]) > 0.0:
+            if plan_plain is not None:
+                # auto-derived schedule: the renderer owns the recovery
+                # — re-render this chunk on the always-exact plain path
+                # (deterministic per chunk, so resume stays bitwise)
+                a, s, _b, o, _om = plan_plain.run_chunk(c)
+            else:
+                from rust_pathtracer_tpu.render import CascadeOverflowError
+
+                raise CascadeOverflowError(
+                    f"sharded static cascade schedule "
+                    f"{settings.cascade_schedule!r} dropped "
+                    f"{float(o[-1]):.0f} live lanes in chunk {c}: the "
+                    "image is biased.  Widen the schedule."
+                )
         acc = acc + a[:npix]
         segments += float(s)
-        if plan.cascade_stages and float(o[-1]) > 0.0:
-            from rust_pathtracer_tpu.render import CascadeOverflowError
-
-            raise CascadeOverflowError(
-                f"sharded static cascade schedule "
-                f"{settings.cascade_schedule!r} dropped "
-                f"{float(o[-1]):.0f} live lanes in chunk {c}: the "
-                "image is biased.  Widen the schedule."
-            )
         if (c + 1 - start_chunk) % checkpoint_every == 0:
             save_checkpoint(
                 checkpoint_path,

@@ -191,6 +191,10 @@ def render_radiance_regen(
         alive=init_work < total,
         segments=jnp.float32(0.0),
         iters=jnp.int32(0),
+        # per-path-LENGTH counts, accumulated when a lane finishes
+        # (flush windows); converted to the chunked renderer's
+        # per-bounce occupancy after the loop
+        hist=jnp.zeros((MAX_BOUNCE_STATS,), jnp.float32),
     )
     if use_stripe:
         # nxt/send: the lane's remaining stripe [nxt, send); acc_lane:
@@ -208,7 +212,16 @@ def render_radiance_regen(
     if reorder:
         state["cluster"] = jnp.zeros(lanes, jnp.int32)
 
-    _scalar_keys = ("issued", "acc", "segments", "iters")
+    _scalar_keys = ("issued", "acc", "segments", "iters", "hist")
+
+    def _depth_hist(depth, finished):
+        """Counts of finished lanes per (clamped) path length — a dense
+        masked reduction, NOT a scatter (78 ms at 1M lanes on v5e;
+        this is ~0.2 ms of compare+reduce traffic per flush window)."""
+        bins = np.arange(MAX_BOUNCE_STATS, dtype=np.int32)
+        d = jnp.minimum(depth, np.int32(MAX_BOUNCE_STATS - 1))
+        m = (d[:, None] == bins[None, :]) & finished[:, None]
+        return jnp.sum(m, axis=0).astype(jnp.float32)
 
     def reorder_lanes(s):
         """Sort the lane pool by its reorder key (pass-set bitmask by
@@ -326,6 +339,7 @@ def render_radiance_regen(
         hand each flushed lane the next queued (pixel, sample)."""
         alive, work = s["alive"], s["work"]
         finished = ~alive & (work >= 0)
+        hist = s["hist"] + _depth_hist(s["depth"], finished)
         acc = flush_radiance(s["acc"], finished, s["pixel"], s["rad"])
 
         issued = s["issued"]
@@ -348,7 +362,7 @@ def render_radiance_regen(
         out = dict(
             s, work=work, pixel=pixel, lkeys=lkeys, o=o, d=d, thr=thr,
             rad=rad, depth=depth, alive=s["alive"] | take, issued=issued,
-            acc=acc,
+            acc=acc, hist=hist,
         )
         if reorder:
             # refilled lanes are fresh camera rays: drop the previous
@@ -364,6 +378,7 @@ def render_radiance_regen(
         loop)."""
         alive, work = s["alive"], s["work"]
         finished = ~alive & (work >= 0)
+        hist = s["hist"] + _depth_hist(s["depth"], finished)
         acc_lane = s["acc_lane"] + jnp.where(finished[:, None], s["rad"], 0.0)
         take = finished & (s["nxt"] < s["send"])
         new_work = jnp.where(take, s["nxt"], -1)
@@ -380,6 +395,7 @@ def render_radiance_regen(
             s, work=work, pixel=pixel, lkeys=lkeys, o=o, d=d, thr=thr,
             rad=rad, depth=depth, alive=alive | take,
             nxt=s["nxt"] + take.astype(jnp.int32), acc_lane=acc_lane,
+            hist=hist,
         )
         if reorder:
             out["cluster"] = jnp.where(take, 0, s["cluster"])
@@ -404,9 +420,16 @@ def render_radiance_regen(
     else:
         acc = state["acc"]
     img = (acc / jnp.float32(spp)).reshape(height, width, 3)
+    # path-length counts -> the chunked renderer's per-bounce occupancy:
+    # a path of length L traced a segment at bounces 0..L-1, so
+    # occupancy[b] = #paths with length > b (suffix sum of hist)
+    suffix = jnp.cumsum(state["hist"][::-1])[::-1]
+    occupancy = jnp.concatenate(
+        [suffix[1:], jnp.zeros((1,), jnp.float32)]
+    )
     stats = TraceStats(
         segments=state["segments"],
         bounces=state["iters"],
-        occupancy=jnp.zeros((MAX_BOUNCE_STATS,), jnp.float32),
+        occupancy=occupancy,
     )
     return img, stats

@@ -169,3 +169,19 @@ def test_cli_list_scenes(capsys):
     assert main(["--list-scenes"]) == 0
     out = capsys.readouterr().out
     assert "CornellBox" in out and "SphereField" in out
+
+
+def test_cli_mesh_regen_mutually_exclusive(tmp_path):
+    """--mesh + --regen must error loudly: render_one's branch order
+    would otherwise pick the sharded path and silently ignore --regen
+    (round-3 review finding)."""
+    import pytest
+
+    from rust_pathtracer_tpu.cli import main
+
+    with pytest.raises(SystemExit):
+        main([
+            "--scene", "CornellBox", "--width", "8", "--height", "8",
+            "--spp", "2", "--mesh", "2x1", "--regen",
+            "--output-dir", str(tmp_path), "--quiet",
+        ])

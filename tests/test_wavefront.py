@@ -137,3 +137,29 @@ def test_regen_russian_roulette_matches_chunked():
     s_norr = dataclasses.replace(s, russian_roulette_start=None)
     _, sb0 = render_radiance_regen(scene, cam, s_norr, KEY, lanes=1024)
     assert float(sb.segments) < float(sb0.segments)
+
+
+def test_regen_occupancy_histogram():
+    """Regen populates TraceStats.occupancy (round-3 review: it
+    returned zeros, silently degrading metrics/bench consumers).
+    occupancy[b] = lanes alive at bounce b, so it must (a) sum to the
+    traced segments, (b) start at the full sample count, and (c) match
+    the chunked renderer's histogram up to the handful of
+    ulp-divergent paths."""
+    sd = get_scene("CornellBox")
+    scene = sd.build()
+    cam = sd.camera_at(0.0)
+    s = RenderSettings(20, 20, 12, 10, (0.0, 0.0, 0.0))
+    _, sa = render_radiance(scene, cam, s, KEY)
+    _, sb = render_radiance_regen(scene, cam, s, KEY, lanes=1024)
+    occ = np.asarray(sb.occupancy)
+    assert occ.sum() == float(sb.segments)
+    assert occ[0] == 20 * 20 * 12  # every path traces bounce 0
+    occ_chunked = np.asarray(sa.occupancy)
+    assert np.abs(occ - occ_chunked).sum() <= 0.001 * occ_chunked.sum()
+    # stripe mode banks through a different flush path; same histogram
+    _, sc = render_radiance_regen(scene, cam, s, KEY, lanes=1024,
+                                  mode="stripe")
+    occ_stripe = np.asarray(sc.occupancy)
+    assert occ_stripe.sum() == float(sc.segments)
+    assert np.abs(occ_stripe - occ_chunked).sum() <= 0.001 * occ_chunked.sum()
