@@ -24,6 +24,13 @@ def main():
     ap.add_argument("--scene", action="append", help="subset of scenes")
     ap.add_argument("--regen", action="store_true",
                     help="use the regeneration wavefront renderer")
+    ap.add_argument("--reps", type=int, default=1,
+                    help="timed frame repetitions; >1 reports the "
+                         "median + spread (host-load defense, like "
+                         "bench.py)")
+    ap.add_argument("--note", default=None,
+                    help="free-form tag recorded in each JSON line "
+                         "(e.g. 'round3-control' for same-day A/Bs)")
     args = ap.parse_args()
 
     from rust_pathtracer_tpu.utils import compcache
@@ -66,6 +73,11 @@ def main():
         ("TwoSphereCheckers", {}, 400, 225, 64, 8, False, None, "chunked"),
         ("LightTest", {}, 512, 512, 256, 50, False, None, "regen"),
         ("CornellBox", {}, 512, 512, 1024, 20, False, None, "chunked"),
+        # TriangleTest guards the triangle intersection path (Cornell
+        # walls + 2 explicit triangles, scene.rs:467-595) at its
+        # reference config — previously only correctness-tested, so a
+        # triangle-path perf regression was invisible (round-3 review)
+        ("TriangleTest", {}, 400, 400, 1000, 20, False, None, "chunked"),
         ("ModelTest", {"obj_path": objp}, 512, 512, 256, 20, False, 4,
          "cascade:auto"),
         ("SphereField", {}, 1280, 720, 512, 20, True, 4,
@@ -121,30 +133,37 @@ def main():
         img, _ = render(scene, cam, settings if use_regen else warm, key)
         _ = float(img.mean())
 
-        t0 = time.perf_counter()
-        if rebuild:
-            scene = sd.build()  # per-frame BVH/scene rebuild, timed
-        img, stats = render(scene, cam, settings, key)
-        _ = float(img.mean())
-        dt = time.perf_counter() - t0
+        times = []
+        for _rep in range(max(1, args.reps)):
+            t0 = time.perf_counter()
+            if rebuild:
+                scene = sd.build()  # per-frame BVH/scene rebuild, timed
+            img, stats = render(scene, cam, settings, key)
+            _ = float(img.mean())
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        dt = times[len(times) // 2]
+        spread = (times[-1] - times[0]) / dt if len(times) > 1 else 0.0
         rays = float(stats.segments)
         if cascade_schedule is not None:
             # unbiasedness guard: no live lane fell past a static slice
             assert float(stats.occupancy[-1]) == 0.0, (
                 name, float(stats.occupancy[-1]))
+        row = {
+            "metric": f"{name} {w}x{h}@{spp}spp frame",
+            "value": dt,
+            "unit": "s",
+            "vs_baseline": rays / dt / 8.0e6,  # rays/s over ref estimate
+            "reps": len(times),
+            "spread": round(spread, 4),
+            "host_load1": round(os.getloadavg()[0], 2),
+        }
+        if args.note:
+            row["note"] = args.note
+        print(json.dumps(row), flush=True)
         print(
-            json.dumps(
-                {
-                    "metric": f"{name} {w}x{h}@{spp}spp frame",
-                    "value": dt,
-                    "unit": "s",
-                    "vs_baseline": rays / dt / 8.0e6,  # rays/s over ref estimate
-                }
-            ),
-            flush=True,
-        )
-        print(
-            f"# {name}: {rays:.3g} segments, {rays/dt/1e6:.1f} Mrays/s",
+            f"# {name}: {rays:.3g} segments, {rays/dt/1e6:.1f} Mrays/s, "
+            f"reps={times} load1={row['host_load1']}",
             file=sys.stderr,
             flush=True,
         )
