@@ -154,6 +154,9 @@ def _closest_hit_pallas(packed, o, d, *, kinds, t_min, interpret=False):
         (BLOCK_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     tab_space = pltpu.SMEM if packed.shape[1] <= 128 else pltpu.VMEM
+    # inside shard_map (check_vma=True) pallas outputs must declare
+    # their mesh-varying axes — inherit them from the ray wavefront
+    vma = jax.typeof(o).vma
     t, idx = pl.pallas_call(
         functools.partial(_kernel, kinds, t_min),
         grid=grid,
@@ -164,8 +167,8 @@ def _closest_hit_pallas(packed, o, d, *, kinds, t_min, interpret=False):
         ] + [ray_spec] * 6,
         out_specs=(ray_spec, ray_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((rows, 128), jnp.float32),
-            jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+            jax.ShapeDtypeStruct((rows, 128), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((rows, 128), jnp.int32, vma=vma),
         ),
         interpret=interpret,
     )(packed, *planes)
@@ -325,8 +328,9 @@ def _closest_hit_record_pallas(packed, o, d, *, kinds, t_min, interpret=False):
     ray_spec = pl.BlockSpec(
         (BLOCK_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    f32 = jax.ShapeDtypeStruct((rows, 128), jnp.float32)
-    i32 = jax.ShapeDtypeStruct((rows, 128), jnp.int32)
+    vma = jax.typeof(o).vma  # see _closest_hit_pallas
+    f32 = jax.ShapeDtypeStruct((rows, 128), jnp.float32, vma=vma)
+    i32 = jax.ShapeDtypeStruct((rows, 128), jnp.int32, vma=vma)
     tab_space = pltpu.SMEM if packed.shape[1] <= 128 else pltpu.VMEM
     outs = pl.pallas_call(
         functools.partial(_kernel_shade, kinds, t_min),

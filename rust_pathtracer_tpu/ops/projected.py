@@ -689,9 +689,14 @@ def _closest_hit_projected(rays, a, b, const, payload, cbv, *,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((R8, 1), jnp.float32),
-            jax.ShapeDtypeStruct((R8, 1), jnp.int32),
-            jax.ShapeDtypeStruct((R8, PAY_W), jnp.float32),
+            # vma: inside shard_map (check_vma=True) pallas outputs
+            # must declare their mesh-varying axes — inherit the rays'
+            jax.ShapeDtypeStruct((R8, 1), jnp.float32,
+                                 vma=jax.typeof(rays).vma),
+            jax.ShapeDtypeStruct((R8, 1), jnp.int32,
+                                 vma=jax.typeof(rays).vma),
+            jax.ShapeDtypeStruct((R8, PAY_W), jnp.float32,
+                                 vma=jax.typeof(rays).vma),
         ),
         scratch_shapes=[
             pltpu.VMEM((rb, 1), jnp.float32),

@@ -294,9 +294,14 @@ def _closest_hit_pairs(rays, a, b, const, payload, meta, *,
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((R8, 1), jnp.float32),
-            jax.ShapeDtypeStruct((R8, 1), jnp.int32),
-            jax.ShapeDtypeStruct((R8, PAY_W), jnp.float32),
+            # vma: inside shard_map (check_vma=True) pallas outputs
+            # must declare their mesh-varying axes — inherit the rays'
+            jax.ShapeDtypeStruct((R8, 1), jnp.float32,
+                                 vma=jax.typeof(rays).vma),
+            jax.ShapeDtypeStruct((R8, 1), jnp.int32,
+                                 vma=jax.typeof(rays).vma),
+            jax.ShapeDtypeStruct((R8, PAY_W), jnp.float32,
+                                 vma=jax.typeof(rays).vma),
         ),
         interpret=interpret,
     )(meta, rays, a, b, const, payload)

@@ -1,0 +1,226 @@
+"""Compare our renders against the reference's preview PNGs.
+
+The reference ships four eyeball-goldens (README.md:5-9 ->
+/root/reference/preview/{CornellBox,TwoSpheres,LightTest,ModelTest}.png)
+and nothing else resembling golden outputs.  This tool closes the
+"forward images allclose vs the Rust reference" loop as far as this
+image allows (there is no Rust toolchain to re-render them):
+
+* render each scene AT THE PREVIEW'S resolution (the previews are
+  STALE relative to scene.rs — CornellBox.png is 854x854 while
+  scene.rs:331-341 encodes 400x400 — so we match the artifact we
+  have, not the current source settings);
+* compare gamma-encoded luminance with SSIM (uniform 8x8 window) and
+  a 32x32 block-mean absolute difference;
+* write side-by-side montages + a PREVIEW_COMPARE.md report into
+  artifacts/preview_compare/.
+
+Known caveats baked into the per-scene thresholds:
+
+* CornellBox — fully deterministic scene (no Perlin): the strongest
+  comparison.  Monte-Carlo noise + any staleness are the only diffs.
+* TwoSpheres / LightTest — the reference's Perlin texture seeds are
+  RANDOM PER RUN (texture.rs:55), so the marble/turbulence pattern
+  can never match bitwise; SSIM here checks structure (geometry,
+  lighting, tone), not texture phase.
+* ModelTest — the preview's OBJ model is not in the repository; we
+  render our benchmark OBJ for a layout-level sanity montage only
+  (no threshold; recorded as "structural" in the report).
+
+Usage (TPU, full quality):
+  PYTHONPATH=/root/repo:/root/.axon_site python tools/preview_compare.py
+CPU smoke:
+  PYTHONPATH= JAX_PLATFORMS=cpu python tools/preview_compare.py --quick
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF_DIR = "/root/reference/preview"
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "artifacts", "preview_compare")
+
+
+def _lum(rgb8):
+    x = rgb8.astype(np.float64) / 255.0
+    return 0.2126 * x[..., 0] + 0.7152 * x[..., 1] + 0.0722 * x[..., 2]
+
+
+def _downsample(x, f):
+    """f x f box downsample — averages Monte-Carlo noise (16x variance
+    reduction at f=4) so SSIM measures structure, not residual spp."""
+    h = (x.shape[0] // f) * f
+    w = (x.shape[1] // f) * f
+    return x[:h, :w].reshape(h // f, f, w // f, f).mean((1, 3))
+
+
+def ssim(a, b, window=8, c1=0.01 ** 2, c2=0.03 ** 2, pre=4):
+    """Mean SSIM over uniform ``window``-sized blocks of two [0,1]
+    luminance images (standard constants, uniform filter — adequate
+    for a structural gate; we are not chasing the last SSIM digit).
+    Both images are box-downsampled by ``pre`` first (see above)."""
+    a, b = _downsample(a, pre), _downsample(b, pre)
+    h = (a.shape[0] // window) * window
+    w = (a.shape[1] // window) * window
+
+    def blocks(x):
+        return x[:h, :w].reshape(
+            h // window, window, w // window, window
+        ).transpose(0, 2, 1, 3).reshape(h // window, w // window, -1)
+
+    pa, pb = blocks(a), blocks(b)
+    mua, mub = pa.mean(-1), pb.mean(-1)
+    va, vb = pa.var(-1), pb.var(-1)
+    cov = (pa * pb).mean(-1) - mua * mub
+    s = ((2 * mua * mub + c1) * (2 * cov + c2)) / (
+        (mua ** 2 + mub ** 2 + c1) * (va + vb + c2)
+    )
+    return float(s.mean())
+
+
+def block_mad(a, b, grid=32):
+    """Mean |block-mean difference| on a grid x grid downsample —
+    robust to per-pixel Monte-Carlo noise, sensitive to structural /
+    tonal drift."""
+    def down(x):
+        h = (x.shape[0] // grid) * grid
+        w = (x.shape[1] // grid) * grid
+        return x[:h, :w].reshape(
+            grid, h // grid, grid, w // grid
+        ).mean((1, 3))
+
+    return float(np.abs(down(a) - down(b)).mean())
+
+
+def montage(ours, ref, path):
+    from PIL import Image
+
+    h = min(ours.shape[0], ref.shape[0])
+    w = min(ours.shape[1], ref.shape[1])
+    o = np.asarray(Image.fromarray(ours).resize((w, h)))
+    r = np.asarray(Image.fromarray(ref).resize((w, h)))
+    diff = np.abs(o.astype(np.int16) - r.astype(np.int16))
+    diff = np.clip(diff * 4, 0, 255).astype(np.uint8)  # 4x amplified
+    gap = np.full((h, 4, 3), 255, np.uint8)
+    Image.fromarray(
+        np.concatenate([o, gap, r, gap, diff], axis=1)
+    ).save(path)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny spp + quarter resolution (CPU smoke)")
+    ap.add_argument("--scene", action="append")
+    args = ap.parse_args()
+
+    from rust_pathtracer_tpu.utils import compcache
+
+    compcache.enable()
+
+    import jax
+    from PIL import Image
+
+    from rust_pathtracer_tpu.models import get_scene
+    from rust_pathtracer_tpu.render import RenderSettings, render_radiance
+    from rust_pathtracer_tpu.scene.obj_loader import write_benchmark_obj
+    from rust_pathtracer_tpu.utils.image import to_rgb8, write_png
+    from rust_pathtracer_tpu.wavefront import render_radiance_regen
+
+    objp = os.path.join(tempfile.mkdtemp(), "model.obj")
+    write_benchmark_obj(objp)
+
+    # (scene, preview file, spp, bounces, mode, ssim threshold or None)
+    # spp chosen for preview-level noise, not the full scene.rs spp
+    # (SSIM on 8x8 blocks is insensitive to residual MC noise well
+    # before the full sample counts).  Thresholds: CornellBox is the
+    # deterministic anchor; the Perlin scenes gate structure only
+    # (random reference seed, texture.rs:55).
+    jobs = [
+        ("CornellBox", "CornellBox.png", {}, 1024, 20, "chunked", 0.90),
+        ("TwoSphereCheckers", "TwoSpheres.png", {}, 250, 8, "chunked", 0.75),
+        ("LightTest", "LightTest.png", {}, 1024, 50, "regen", 0.55),
+        ("ModelTest", "ModelTest.png", {"obj_path": objp}, 64, 20,
+         "cascade", None),
+    ]
+    os.makedirs(OUT_DIR, exist_ok=True)
+    key = jax.random.PRNGKey(0)
+    rows = []
+    for name, ref_file, kwargs, spp, bounces, mode, thresh in jobs:
+        if args.scene and name not in args.scene:
+            continue
+        ref = np.asarray(Image.open(os.path.join(REF_DIR, ref_file)))[..., :3]
+        rh, rw = ref.shape[:2]
+        if args.quick:
+            rw, rh, spp = rw // 4, rh // 4, max(4, spp // 32)
+        sd = get_scene(name, **kwargs)
+        settings = RenderSettings(
+            rw, rh, spp, bounces, sd.output.image.background,
+            russian_roulette_start=4 if name == "ModelTest" else None,
+            cascade=mode == "cascade",
+            cascade_schedule="auto" if mode == "cascade" else None,
+        )
+        scene = sd.build()
+        cam = sd.camera_at(0.0)
+        if mode == "regen":
+            img, _ = render_radiance_regen(scene, cam, settings, key,
+                                           flush_every=2)
+        else:
+            img, _ = render_radiance(scene, cam, settings, key)
+        ours = to_rgb8(np.asarray(img))
+        write_png(os.path.join(OUT_DIR, f"{name}_ours.png"), ours)
+        if args.quick:
+            ref = np.asarray(
+                Image.fromarray(ref).resize((rw, rh))
+            )
+        montage(ours, ref, os.path.join(OUT_DIR, f"{name}_montage.png"))
+        s = ssim(_lum(ours), _lum(ref))
+        mad = block_mad(_lum(ours), _lum(ref))
+        ok = (thresh is None) or (s >= thresh)
+        rows.append(dict(scene=name, preview=ref_file, ssim=round(s, 4),
+                         block_mad=round(mad, 4), threshold=thresh,
+                         spp=spp, size=f"{rw}x{rh}",
+                         gate="structural-only" if thresh is None
+                         else ("pass" if ok else "FAIL")))
+        print(json.dumps(rows[-1]), flush=True)
+
+    with open(os.path.join(OUT_DIR, "PREVIEW_COMPARE.md"), "w") as f:
+        f.write(
+            "# Reference preview comparison\n\n"
+            "Our renders vs /root/reference/preview/*.png "
+            "(README.md:5-9), each at the PREVIEW's resolution.  "
+            "Metrics: uniform-window SSIM + 32x32 block-mean abs diff "
+            "on gamma-encoded luminance.  Caveats (see "
+            "tools/preview_compare.py): previews are stale vs "
+            "scene.rs (CornellBox.png is 854x854, scene.rs says "
+            "400x400); the reference's Perlin seed is random per run "
+            "(texture.rs:55) so TwoSpheres/LightTest gate structure, "
+            "not texture phase; ModelTest's OBJ is not in the repo — "
+            "montage only, no gate.\n\n"
+            "| scene | preview | size | spp | SSIM | block MAD | "
+            "threshold | gate |\n|---|---|---|---|---|---|---|---|\n"
+        )
+        for r in rows:
+            f.write(
+                f"| {r['scene']} | {r['preview']} | {r['size']} | "
+                f"{r['spp']} | {r['ssim']} | {r['block_mad']} | "
+                f"{r['threshold']} | {r['gate']} |\n"
+            )
+    bad = [r for r in rows if r["gate"] == "FAIL"]
+    if bad:
+        print(f"FAIL: {[r['scene'] for r in bad]}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
