@@ -201,16 +201,27 @@ def main(argv=None) -> int:
     auto_margin = None
     if sticky_auto:
         from rust_pathtracer_tpu import render as render_mod
+        from rust_pathtracer_tpu.render import derive_cascade_schedule_multi
 
-        # 1.5x extra slack over the single-frame margin: the pinned
-        # schedule must hold across the whole camera orbit, and one
-        # overflow costs a re-derive + a fresh ~6-12 min cascade
-        # compile mid-animation
-        auto_margin = render_mod.AUTO_MARGIN * 1.5
+        # Multi-pose probe: sample the camera across the WHOLE
+        # animation range and derive from the max-occupancy envelope
+        # (render.derive_cascade_schedule_multi) — a frame-0-only
+        # derivation went stale mid-orbit in the round-3 SphereField
+        # run (one 881 s re-derive+recompile frame).  The envelope
+        # already covers the orbit, so only a small slack (1.15x) is
+        # kept for poses between probes; all probes share one
+        # compiled graph.
+        auto_margin = render_mod.AUTO_MARGIN * 1.15
+        n_probe = min(8, frames - args.frame_start)
+        span = frames - args.frame_start
+        probe_frames = sorted({
+            args.frame_start + (i * (span - 1)) // max(1, n_probe - 1)
+            for i in range(n_probe)
+        })
         with timer.stage("schedule probe"):
-            sched = derive_cascade_schedule(
-                scene, sd.camera_at(args.frame_start / frames), settings, key,
-                margin=auto_margin,
+            sched = derive_cascade_schedule_multi(
+                scene, [sd.camera_at(f / frames) for f in probe_frames],
+                settings, key, margin=auto_margin,
             )
         settings = dataclasses.replace(
             settings, cascade_schedule=sched, cascade=sched is not None

@@ -405,8 +405,37 @@ def _reorder_wavefront(scene, state, bounce):
     return jax.lax.cond(want, do_sort, lambda s: s, state)
 
 
+def _precompute_draws(lane_keys, max_bounces, rr_start):
+    """All per-bounce RNG draws for a fixed-depth trace, batched.
+
+    The draws depend only on (lane_key, bounce, purpose) — never on the
+    path state — so a fixed-length scan can consume them as ``xs``
+    instead of re-deriving threefry blocks inside every bounce body.
+    vmap over the bounce axis batches the exact same integer threefry
+    computations, so every draw is BITWISE the in-loop value.  Returns
+    a dict of (B, R, ...) arrays (roulette only when it can fire).
+    """
+    sg = jax.lax.stop_gradient
+
+    def draws_for(b):
+        out = dict(
+            sphere=sg(sampling.on_unit_sphere(
+                sampling.bounce_keys(lane_keys, b, sampling.P_LAMBERT))),
+            ball=sg(sampling.in_unit_sphere(
+                sampling.bounce_keys(lane_keys, b, sampling.P_FUZZ))),
+            coin=sg(sampling.uniform(
+                sampling.bounce_keys(lane_keys, b, sampling.P_SCHLICK))),
+        )
+        if rr_start < max_bounces:
+            out["roulette"] = sg(sampling.uniform(
+                sampling.bounce_keys(lane_keys, b, sampling.P_ROULETTE)))
+        return out
+
+    return jax.vmap(draws_for)(jnp.arange(max_bounces, dtype=jnp.int32))
+
+
 def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
-                 differentiable=False, reorder=False):
+                 differentiable=False, reorder=False, draws=None):
     if reorder:
         state = _reorder_wavefront(scene, state, bounce)
         lane_keys = state["lkeys"]
@@ -453,15 +482,21 @@ def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
     rad = rad + jnp.where(hit_mask[..., None], thr * em, 0.0)
 
     sg = jax.lax.stop_gradient  # detached sampling: draws carry no grads
-    sphere_dir = sg(sampling.on_unit_sphere(
-        sampling.bounce_keys(lane_keys, bounce, sampling.P_LAMBERT)
-    ))
-    ball_dir = sg(sampling.in_unit_sphere(
-        sampling.bounce_keys(lane_keys, bounce, sampling.P_FUZZ)
-    ))
-    coin = sg(sampling.uniform(
-        sampling.bounce_keys(lane_keys, bounce, sampling.P_SCHLICK)
-    ))
+    if draws is not None:
+        # precomputed (see _precompute_draws): bitwise the values below
+        sphere_dir, ball_dir, coin = (
+            draws["sphere"], draws["ball"], draws["coin"]
+        )
+    else:
+        sphere_dir = sg(sampling.on_unit_sphere(
+            sampling.bounce_keys(lane_keys, bounce, sampling.P_LAMBERT)
+        ))
+        ball_dir = sg(sampling.in_unit_sphere(
+            sampling.bounce_keys(lane_keys, bounce, sampling.P_FUZZ)
+        ))
+        coin = sg(sampling.uniform(
+            sampling.bounce_keys(lane_keys, bounce, sampling.P_SCHLICK)
+        ))
     if differentiable:
         sphere_dir = _cn(sphere_dir, "rng_sphere")
         ball_dir = _cn(ball_dir, "rng_ball")
@@ -484,7 +519,8 @@ def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
     def roulette(args):
         thr, alive = args
         p = jnp.clip(jnp.max(jax.lax.stop_gradient(thr), axis=-1), 0.05, 1.0)
-        u = sampling.uniform(
+        has_rr = draws is not None and "roulette" in draws
+        u = draws["roulette"] if has_rr else sampling.uniform(
             sampling.bounce_keys(lane_keys, bounce, sampling.P_ROULETTE)
         )
         survive = u < p
@@ -569,7 +605,7 @@ def _trace_diff_cascade(init, lane_keys, make_step, stages, max_bounces):
     for b1, shrink in list(stages) + [(max_bounces, None)]:
         step = make_step(lk)
         state, _ = jax.lax.scan(
-            lambda s, b: (step(s, b), None),
+            lambda s, b: (step(s, b, None), None),
             state, jnp.arange(b0, b1, dtype=jnp.int32),
         )
         segments = segments + state["segments"]
@@ -697,13 +733,13 @@ def trace(
                         _bounce_step(scene_, lk_, background_, rr_start,
                                      state, bounce, differentiable=True)
                 )
-                return lambda state, bounce: base(
+                return lambda state, bounce, draws: base(
                     state, scene, background, lk, bounce
                 )
             if mode == "none":
-                return lambda state, bounce: _bounce_step(
+                return lambda state, bounce, draws: _bounce_step(
                     scene, lk, background, rr_start, state, bounce,
-                    differentiable=True,
+                    differentiable=True, draws=draws,
                 )
             # "mid": save the bounce's *interface* values (hit record,
             # shade inputs, RNG draws, scatter outputs) so the backward
@@ -720,9 +756,9 @@ def trace(
                     "scatter_did", "scatter_dir", "scatter_att",
                 )
             return jax.checkpoint(
-                lambda state, bounce: _bounce_step(
+                lambda state, bounce, draws: _bounce_step(
                     scene, lk, background, rr_start, state, bounce,
-                    differentiable=True,
+                    differentiable=True, draws=draws,
                 ),
                 policy=jax.checkpoint_policies.save_only_these_names(*names),
             )
@@ -752,23 +788,50 @@ def trace(
             # RPT_SCAN_SPLIT_T=1: lax.scan's experimental transpose
             # split (backward as two passes) — probe knob
             split_t = os.environ.get("RPT_SCAN_SPLIT_T", "0") == "1"
-            state, _ = jax.lax.scan(
-                lambda s, b: (step(s, b), None),
-                init, jnp.arange(max_bounces, dtype=jnp.int32),
-                unroll=unroll, _split_transpose=split_t,
-            )
+            # RPT_RNG_XS=1: hoist every per-bounce RNG draw out of the
+            # scan body into precomputed xs (bitwise-identical draws,
+            # see _precompute_draws) — trades ~28 B/lane/bounce of HBM
+            # xs traffic for the in-body threefry chains.
+            bidx = jnp.arange(max_bounces, dtype=jnp.int32)
+            if os.environ.get("RPT_RNG_XS", "0") == "1" and mode != "bf16":
+                draws_all = _precompute_draws(lane_keys, max_bounces, rr_start)
+                state, _ = jax.lax.scan(
+                    lambda s, x: (step(s, x[0], x[1]), None),
+                    init, (bidx, draws_all),
+                    unroll=unroll, _split_transpose=split_t,
+                )
+            else:
+                state, _ = jax.lax.scan(
+                    lambda s, b: (step(s, b, None), None),
+                    init, bidx,
+                    unroll=unroll, _split_transpose=split_t,
+                )
         bounces_done = jnp.int32(max_bounces)
     else:
+        import os
+
+        # RPT_RNG_XS also applies here (dynamic per-bounce slice of the
+        # precomputed draws) — but NOT with wavefront reordering, which
+        # permutes lanes mid-loop while the precomputed draws stay in
+        # the original lane order.
+        draws_all = None
+        if os.environ.get("RPT_RNG_XS", "0") == "1" and not reorder:
+            draws_all = _precompute_draws(lane_keys, max_bounces, rr_start)
+
         def cond(carry):
             bounce, state = carry
             return (bounce < max_bounces) & jnp.any(state["alive"])
 
         def body(carry):
             bounce, state = carry
+            d_b = None if draws_all is None else jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, bounce, 0, keepdims=False), draws_all,
+            )
             return (
                 bounce + 1,
                 _bounce_step(scene, lane_keys, background, rr_start, state,
-                             bounce, reorder=reorder),
+                             bounce, reorder=reorder, draws=d_b),
             )
 
         bounces_done, state = jax.lax.while_loop(cond, body, (jnp.int32(0), init))

@@ -614,6 +614,25 @@ def derive_cascade_schedule(scene, cam, settings, key, background=None,
     compiled cascade graph (~6-12 min on the remote TPU service), so a
     per-frame re-derivation that wobbles a width would recompile.
     """
+    return derive_cascade_schedule_multi(
+        scene, [cam], settings, key, background, margin=margin
+    )
+
+
+def derive_cascade_schedule_multi(scene, cams, settings, key,
+                                  background=None, *, margin=AUTO_MARGIN):
+    """Orbit-robust schedule: one probe per camera pose, max envelope.
+
+    Animations pin ONE schedule across every frame (each distinct
+    schedule string is a fresh ~6-12 min remote cascade compile), but
+    a schedule derived from frame 0 alone can go stale as the camera
+    orbits — the round-3 SphereField run paid an 881 s frame-109
+    re-derive+recompile that way.  Probing N poses across the orbit
+    and deriving from the per-bounce MAX of their occupancy histograms
+    makes the pinned schedule cover the whole path the probes saw; the
+    renderer's overflow guard still protects the poses in between.
+    All poses share one compiled probe graph (same shapes).
+    """
     bg = jnp.asarray(
         settings.background if background is None else background,
         jnp.float32,
@@ -628,14 +647,17 @@ def derive_cascade_schedule(scene, cam, settings, key, background=None,
     # distinct schedule string is a fresh multi-minute cascade
     # compile (bench_scenes' warm pass at chunk-spp then timed pass
     # at full spp paid exactly that: a 688 s "frame")
-    _, stats = _probe_chunk(
-        scene, cam, key, pix, bg,
-        width=settings.width, height=settings.height,
-        spp_total=1,
-        max_bounces=settings.max_bounces,
-        rr_start=settings.russian_roulette_start,
-    )
-    occ = np.asarray(stats.occupancy)
+    occ = None
+    for cam in cams:
+        _, stats = _probe_chunk(
+            scene, cam, key, pix, bg,
+            width=settings.width, height=settings.height,
+            spp_total=1,
+            max_bounces=settings.max_bounces,
+            rr_start=settings.russian_roulette_start,
+        )
+        o = np.asarray(stats.occupancy)
+        occ = o if occ is None else np.maximum(occ, o)
     n_lanes = npix * chunk
     scale = n_lanes / float(pix.shape[0])
     sched = _derive_cascade_schedule(

@@ -414,3 +414,26 @@ def test_remat_settings_field_forces_retrace():
     # separately — byte-identical outputs would mean a vacuous cache hit
     assert not (np.array_equal(outs["mid"][1], g0)
                 and np.array_equal(outs["names"][1], g0))
+
+
+def test_rng_xs_matches(monkeypatch):
+    """RPT_RNG_XS=1 hoists every per-bounce RNG draw out of the scan
+    body into precomputed xs (integrator._precompute_draws).  The
+    draws themselves are bitwise-identical (same threefry integer
+    ops, vmapped over the bounce axis), so loss and gradients match
+    the in-body path to fusion rounding.  Russian roulette is enabled
+    so the precomputed roulette draw is covered too."""
+    params, scene, settings, target = _setup(spp=4, bounces=6)
+    settings = dataclasses.replace(settings, russian_roulette_start=3)
+    loss0, g0 = render_loss_and_grad(params, scene, settings, KEY, target)
+    f0, _ = jax.flatten_util.ravel_pytree(g0)
+    monkeypatch.setenv("RPT_RNG_XS", "1")
+    jax.clear_caches()
+    loss1, g1 = render_loss_and_grad(params, scene, settings, KEY, target)
+    f1, _ = jax.flatten_util.ravel_pytree(g1)
+    monkeypatch.delenv("RPT_RNG_XS")
+    jax.clear_caches()
+    assert np.abs(np.asarray(f0)).max() > 0
+    np.testing.assert_allclose(float(loss1), float(loss0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                               rtol=1e-4, atol=1e-7)

@@ -185,3 +185,32 @@ def test_wavefront_reorder_auto_routing(monkeypatch):
     assert not integrator.use_wavefront_reorder(small)
     # never in differentiable mode (search detaches through jnp there)
     assert not integrator.use_wavefront_reorder(big, differentiable=True)
+
+
+def test_rng_xs_nondiff_matches(monkeypatch):
+    """RPT_RNG_XS=1 on the nondiff while_loop path: per-bounce draws
+    come from a dynamic slice of the precomputed (B, R, ...) arrays —
+    radiance must match the in-body path to fusion rounding (the draw
+    values themselves are bitwise-identical)."""
+    b = SceneBuilder()
+    b.add_sphere((0, 0, -5), 1.0, b.lambertian((0.6, 0.5, 0.4)))
+    b.add_sphere((2, 0, -5), 1.0, b.metal((0.8, 0.8, 0.8), fuzz=0.3))
+    b.add_sphere((-2, 0, -5), 1.0, b.dielectric(1.5))
+    b.add_rect("xz", (-4, 4, -8), (4, 4, -2), -1.0, b.diffuse_light((4, 4, 4)))
+    scene = b.build(use_bvh=False)
+    n = 64
+    ang = jnp.linspace(-0.4, 0.4, n)
+    o = jnp.zeros((n, 3))
+    d = jnp.stack([jnp.sin(ang), 0.1 * jnp.cos(7 * ang), -jnp.cos(ang)], axis=1)
+    keys = _lane_keys(n)
+    rad0, st0 = trace(scene, o, d, keys, (0.1, 0.2, 0.3), max_bounces=8,
+                      russian_roulette_start=3)
+    monkeypatch.setenv("RPT_RNG_XS", "1")
+    jax.clear_caches()
+    rad1, st1 = trace(scene, o, d, keys, (0.1, 0.2, 0.3), max_bounces=8,
+                      russian_roulette_start=3)
+    monkeypatch.delenv("RPT_RNG_XS")
+    jax.clear_caches()
+    np.testing.assert_allclose(np.asarray(rad1), np.asarray(rad0),
+                               rtol=1e-5, atol=1e-6)
+    assert float(st1.segments) == float(st0.segments)

@@ -356,3 +356,38 @@ def test_cascade_passset_key_matches_octant_key(monkeypatch):
     img0, _ = render_radiance(scene, cam, s0, jax.random.PRNGKey(0))
     np.testing.assert_allclose(imgs["passset"], np.asarray(img0),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_derive_schedule_multi_envelope():
+    """derive_cascade_schedule_multi derives from the per-bounce MAX of
+    the probed pose occupancies: its widths can never undercut any
+    single probed pose's widths (the orbit-robust animation contract,
+    cli.py sticky_auto)."""
+    from rust_pathtracer_tpu.render import (
+        derive_cascade_schedule,
+        derive_cascade_schedule_multi,
+        parse_cascade_schedule,
+    )
+
+    sd = get_scene("SphereField")
+    scene = sd.build()
+    cams = [sd.camera_at(t) for t in (0.0, 0.25, 0.5, 0.75)]
+    s = RenderSettings(48, 27, 8, 12, (1.0, 1.0, 1.0), spp_chunk=4)
+    key = jax.random.PRNGKey(3)
+    multi = derive_cascade_schedule_multi(scene, cams, s, key)
+    # single-pose == multi with one pose (exact refactor equivalence)
+    assert derive_cascade_schedule(scene, cams[0], s, key) == \
+        derive_cascade_schedule_multi(scene, [cams[0]], s, key)
+    if multi is None:
+        return
+    n_lanes = 48 * 27 * 4
+    env = {b: n_lanes / sh for b, sh in parse_cascade_schedule(multi)}
+    for cam in cams:
+        single = derive_cascade_schedule(scene, cam, s, key)
+        if single is None:
+            continue
+        for b, sh in parse_cascade_schedule(single):
+            w = n_lanes / sh
+            cover = [we for be, we in env.items() if be <= b]
+            if cover:
+                assert min(cover) >= w, (multi, single, b)

@@ -19,10 +19,17 @@ Known caveats baked into the per-scene thresholds:
 
 * CornellBox — fully deterministic scene (no Perlin): the strongest
   comparison.  Monte-Carlo noise + any staleness are the only diffs.
-* TwoSpheres / LightTest — the reference's Perlin texture seeds are
-  RANDOM PER RUN (texture.rs:55), so the marble/turbulence pattern
-  can never match bitwise; SSIM here checks structure (geometry,
-  lighting, tone), not texture phase.
+* TwoSpheres — the preview PREDATES scene.rs: it shows TWO checker
+  spheres under a blue gradient sky, while scene.rs:216-231 puts a
+  PerlinNoiseTexture on the top sphere and scene.rs:183 sets a white
+  background (verified side-by-side in the montage).  Only the bottom
+  checker sphere is comparable, so the gate scores the bottom 45% of
+  the frame (measured SSIM there: 0.9936); the full-frame score is
+  reported unthresholded.
+* LightTest — the reference's Perlin texture seed is RANDOM PER RUN
+  (texture.rs:55), so the marble/turbulence pattern can never match
+  bitwise; SSIM here checks structure (geometry, lighting, tone),
+  not texture phase.
 * ModelTest — the preview's OBJ model is not in the repository; we
   render our benchmark OBJ for a layout-level sanity montage only
   (no threshold; recorded as "structural" in the report).
@@ -121,23 +128,30 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="tiny spp + quarter resolution (CPU smoke)")
     ap.add_argument("--scene", action="append")
+    ap.add_argument("--from-saved", action="store_true",
+                    help="re-score saved <scene>_ours.png renders "
+                         "(no TPU render)")
     args = ap.parse_args()
 
-    from rust_pathtracer_tpu.utils import compcache
-
-    compcache.enable()
-
-    import jax
     from PIL import Image
 
-    from rust_pathtracer_tpu.models import get_scene
-    from rust_pathtracer_tpu.render import RenderSettings, render_radiance
-    from rust_pathtracer_tpu.scene.obj_loader import write_benchmark_obj
-    from rust_pathtracer_tpu.utils.image import to_rgb8, write_png
-    from rust_pathtracer_tpu.wavefront import render_radiance_regen
+    if not args.from_saved:
+        from rust_pathtracer_tpu.utils import compcache
 
-    objp = os.path.join(tempfile.mkdtemp(), "model.obj")
-    write_benchmark_obj(objp)
+        compcache.enable()
+
+        import jax
+
+        from rust_pathtracer_tpu.models import get_scene
+        from rust_pathtracer_tpu.render import RenderSettings, render_radiance
+        from rust_pathtracer_tpu.scene.obj_loader import write_benchmark_obj
+        from rust_pathtracer_tpu.utils.image import to_rgb8, write_png
+        from rust_pathtracer_tpu.wavefront import render_radiance_regen
+
+        objp = os.path.join(tempfile.mkdtemp(), "model.obj")
+        write_benchmark_obj(objp)
+    else:
+        objp = None  # kwargs unused when re-scoring saved renders
 
     # (scene, preview file, spp, bounces, mode, ssim threshold or None)
     # spp chosen for preview-level noise, not the full scene.rs spp
@@ -145,39 +159,46 @@ def main():
     # before the full sample counts).  Thresholds: CornellBox is the
     # deterministic anchor; the Perlin scenes gate structure only
     # (random reference seed, texture.rs:55).
+    # last field: gate crop (y0 fraction .. bottom) or None = full frame
     jobs = [
-        ("CornellBox", "CornellBox.png", {}, 1024, 20, "chunked", 0.90),
-        ("TwoSphereCheckers", "TwoSpheres.png", {}, 250, 8, "chunked", 0.75),
-        ("LightTest", "LightTest.png", {}, 1024, 50, "regen", 0.55),
+        ("CornellBox", "CornellBox.png", {}, 1024, 20, "chunked", 0.90,
+         None),
+        ("TwoSphereCheckers", "TwoSpheres.png", {}, 250, 8, "chunked", 0.90,
+         0.55),  # stale preview: only the bottom checker sphere matches
+        ("LightTest", "LightTest.png", {}, 1024, 50, "regen", 0.55, None),
         ("ModelTest", "ModelTest.png", {"obj_path": objp}, 64, 20,
-         "cascade", None),
+         "cascade", None, None),
     ]
     os.makedirs(OUT_DIR, exist_ok=True)
-    key = jax.random.PRNGKey(0)
+    key = None if args.from_saved else jax.random.PRNGKey(0)
     rows = []
-    for name, ref_file, kwargs, spp, bounces, mode, thresh in jobs:
+    for name, ref_file, kwargs, spp, bounces, mode, thresh, crop_y0 in jobs:
         if args.scene and name not in args.scene:
             continue
         ref = np.asarray(Image.open(os.path.join(REF_DIR, ref_file)))[..., :3]
         rh, rw = ref.shape[:2]
         if args.quick:
             rw, rh, spp = rw // 4, rh // 4, max(4, spp // 32)
-        sd = get_scene(name, **kwargs)
-        settings = RenderSettings(
-            rw, rh, spp, bounces, sd.output.image.background,
-            russian_roulette_start=4 if name == "ModelTest" else None,
-            cascade=mode == "cascade",
-            cascade_schedule="auto" if mode == "cascade" else None,
-        )
-        scene = sd.build()
-        cam = sd.camera_at(0.0)
-        if mode == "regen":
-            img, _ = render_radiance_regen(scene, cam, settings, key,
-                                           flush_every=2)
+        if args.from_saved:
+            ours = np.asarray(Image.open(
+                os.path.join(OUT_DIR, f"{name}_ours.png")))[..., :3]
         else:
-            img, _ = render_radiance(scene, cam, settings, key)
-        ours = to_rgb8(np.asarray(img))
-        write_png(os.path.join(OUT_DIR, f"{name}_ours.png"), ours)
+            sd = get_scene(name, **kwargs)
+            settings = RenderSettings(
+                rw, rh, spp, bounces, sd.output.image.background,
+                russian_roulette_start=4 if name == "ModelTest" else None,
+                cascade=mode == "cascade",
+                cascade_schedule="auto" if mode == "cascade" else None,
+            )
+            scene = sd.build()
+            cam = sd.camera_at(0.0)
+            if mode == "regen":
+                img, _ = render_radiance_regen(scene, cam, settings, key,
+                                               flush_every=2)
+            else:
+                img, _ = render_radiance(scene, cam, settings, key)
+            ours = to_rgb8(np.asarray(img))
+            write_png(os.path.join(OUT_DIR, f"{name}_ours.png"), ours)
         if args.quick:
             ref = np.asarray(
                 Image.fromarray(ref).resize((rw, rh))
@@ -185,8 +206,14 @@ def main():
         montage(ours, ref, os.path.join(OUT_DIR, f"{name}_montage.png"))
         s = ssim(_lum(ours), _lum(ref))
         mad = block_mad(_lum(ours), _lum(ref))
-        ok = (thresh is None) or (s >= thresh)
+        s_gate = s
+        if crop_y0 is not None:
+            y0 = int(crop_y0 * min(ours.shape[0], ref.shape[0]))
+            s_gate = ssim(_lum(ours[y0:]), _lum(ref[y0:]))
+        ok = (thresh is None) or (s_gate >= thresh)
         rows.append(dict(scene=name, preview=ref_file, ssim=round(s, 4),
+                         gate_ssim=round(s_gate, 4),
+                         gate_crop=crop_y0,
                          block_mad=round(mad, 4), threshold=thresh,
                          spp=spp, size=f"{rw}x{rh}",
                          gate="structural-only" if thresh is None
@@ -203,16 +230,22 @@ def main():
             "tools/preview_compare.py): previews are stale vs "
             "scene.rs (CornellBox.png is 854x854, scene.rs says "
             "400x400); the reference's Perlin seed is random per run "
-            "(texture.rs:55) so TwoSpheres/LightTest gate structure, "
-            "not texture phase; ModelTest's OBJ is not in the repo — "
+            "(texture.rs:55) so LightTest gates structure, not texture "
+            "phase; the TwoSpheres preview predates scene.rs (two "
+            "checker spheres + gradient sky vs checker+perlin on white, "
+            "scene.rs:183,216-231) so its gate scores only the bottom "
+            "checker-sphere crop; ModelTest's OBJ is not in the repo — "
             "montage only, no gate.\n\n"
-            "| scene | preview | size | spp | SSIM | block MAD | "
-            "threshold | gate |\n|---|---|---|---|---|---|---|---|\n"
+            "| scene | preview | size | spp | SSIM | gate SSIM (crop) | "
+            "block MAD | threshold | gate |\n"
+            "|---|---|---|---|---|---|---|---|---|\n"
         )
         for r in rows:
+            crop = ("full" if r["gate_crop"] is None
+                    else f"{r['gate_ssim']} (y>{r['gate_crop']})")
             f.write(
                 f"| {r['scene']} | {r['preview']} | {r['size']} | "
-                f"{r['spp']} | {r['ssim']} | {r['block_mad']} | "
+                f"{r['spp']} | {r['ssim']} | {crop} | {r['block_mad']} | "
                 f"{r['threshold']} | {r['gate']} |\n"
             )
     bad = [r for r in rows if r["gate"] == "FAIL"]
