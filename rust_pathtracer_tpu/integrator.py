@@ -405,15 +405,16 @@ def _reorder_wavefront(scene, state, bounce):
     return jax.lax.cond(want, do_sort, lambda s: s, state)
 
 
-def _precompute_draws(lane_keys, max_bounces, rr_start):
-    """All per-bounce RNG draws for a fixed-depth trace, batched.
+def _precompute_draws(lane_keys, max_bounces, rr_start, start_bounce=0):
+    """Per-bounce RNG draws for bounces [start_bounce, max_bounces).
 
     The draws depend only on (lane_key, bounce, purpose) — never on the
-    path state — so a fixed-length scan can consume them as ``xs``
-    instead of re-deriving threefry blocks inside every bounce body.
-    vmap over the bounce axis batches the exact same integer threefry
-    computations, so every draw is BITWISE the in-loop value.  Returns
-    a dict of (B, R, ...) arrays (roulette only when it can fire).
+    path state — so a fixed-length scan can consume them as ``xs`` (and
+    a while_loop as a dynamic slice) instead of re-deriving threefry
+    chains inside every bounce body.  vmap over the bounce axis batches
+    the exact same integer threefry computations, so every draw VALUE
+    is bitwise the in-loop value.  Returns a dict of (B, R, ...) arrays
+    indexed by (bounce - start_bounce); roulette only when it can fire.
     """
     sg = jax.lax.stop_gradient
 
@@ -431,7 +432,9 @@ def _precompute_draws(lane_keys, max_bounces, rr_start):
                 sampling.bounce_keys(lane_keys, b, sampling.P_ROULETTE)))
         return out
 
-    return jax.vmap(draws_for)(jnp.arange(max_bounces, dtype=jnp.int32))
+    return jax.vmap(draws_for)(
+        jnp.arange(start_bounce, max_bounces, dtype=jnp.int32)
+    )
 
 
 def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
@@ -447,6 +450,60 @@ def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
         state["occupancy"], n_alive[None],
         (jnp.minimum(bounce, MAX_BOUNCE_STATS - 1),),
     )
+
+    # fused whole-bounce Pallas kernel (ops/fused_bounce.py): search +
+    # record + texture + scatter + commit in ONE kernel for small
+    # static scenes with table-free shading.  RNG draws stay in XLA
+    # (bitwise jax.random), as do roulette and the stats above.
+    use_fb = False
+    if not differentiable and not reorder:
+        from rust_pathtracer_tpu.ops.fused_bounce import (
+            fused_bounce_apply,
+            fused_bounce_interpret,
+            fused_bounce_ok,
+        )
+        from rust_pathtracer_tpu.ops.pallas_intersect import pallas_available
+
+        use_fb = fused_bounce_ok(scene) and (
+            pallas_available() or fused_bounce_interpret()
+        )
+    if use_fb:
+        if draws is not None:
+            sphere_dir, ball_dir, coin = (
+                draws["sphere"], draws["ball"], draws["coin"]
+            )
+        else:
+            sphere_dir = sampling.on_unit_sphere(
+                sampling.bounce_keys(lane_keys, bounce, sampling.P_LAMBERT))
+            ball_dir = sampling.in_unit_sphere(
+                sampling.bounce_keys(lane_keys, bounce, sampling.P_FUZZ))
+            coin = sampling.uniform(
+                sampling.bounce_keys(lane_keys, bounce, sampling.P_SCHLICK))
+        o, d, thr, rad, alive = fused_bounce_apply(
+            scene, o, d, thr, rad, alive, sphere_dir, ball_dir, coin,
+            background, T_MIN, interpret=not pallas_available(),
+        )
+
+        def roulette_fb(args):
+            thr, alive = args
+            p = jnp.clip(jnp.max(thr, axis=-1), 0.05, 1.0)
+            has_rr = draws is not None and "roulette" in draws
+            u = draws["roulette"] if has_rr else sampling.uniform(
+                sampling.bounce_keys(lane_keys, bounce, sampling.P_ROULETTE)
+            )
+            survive = u < p
+            thr = jnp.where((alive & survive)[..., None],
+                            thr / p[..., None], thr)
+            return thr, alive & survive
+
+        thr, alive = jax.lax.cond(
+            bounce >= rr_start, roulette_fb, lambda args: args, (thr, alive)
+        )
+        return dict(
+            state,
+            o=o, d=d, thr=thr, rad=rad, alive=alive,
+            segments=segments, occupancy=occupancy,
+        )
 
     hit_mask, rec, shade_row, cluster = search_and_record(
         scene, o, d, alive, differentiable
@@ -789,9 +846,13 @@ def trace(
             # split (backward as two passes) — probe knob
             split_t = os.environ.get("RPT_SCAN_SPLIT_T", "0") == "1"
             # RPT_RNG_XS=1: hoist every per-bounce RNG draw out of the
-            # scan body into precomputed xs (bitwise-identical draws,
-            # see _precompute_draws) — trades ~28 B/lane/bounce of HBM
-            # xs traffic for the in-body threefry chains.
+            # scan body into precomputed xs (see _precompute_draws) —
+            # trades ~28 B/lane/bounce of HBM xs traffic for the
+            # in-body threefry chains.  MEASURED NEGATIVE in diff mode
+            # (v5e CornellBox bench 86.6 -> 92.9 ms fwd+bwd: the xs
+            # become extra scan-carried residual traffic), so the diff
+            # default is OFF; the nondiff while_loop below wins 26%
+            # with it and defaults ON.
             bidx = jnp.arange(max_bounces, dtype=jnp.int32)
             if os.environ.get("RPT_RNG_XS", "0") == "1" and mode != "bf16":
                 draws_all = _precompute_draws(lane_keys, max_bounces, rr_start)
@@ -810,12 +871,17 @@ def trace(
     else:
         import os
 
-        # RPT_RNG_XS also applies here (dynamic per-bounce slice of the
-        # precomputed draws) — but NOT with wavefront reordering, which
-        # permutes lanes mid-loop while the precomputed draws stay in
-        # the original lane order.
+        # Per-bounce RNG precompute (default ON here: 59.4 -> 44.2 ms
+        # on the v5e CornellBox nondiff forward — the in-loop threefry
+        # chains were the bounce critical path).  NOT with wavefront
+        # reordering, which permutes lanes mid-loop while the
+        # precomputed draws stay in the original lane order.  Draw
+        # VALUES are bitwise the in-loop draws; the composed image can
+        # differ at the fusion-rounding ulp level (XLA contracts the
+        # batched draw transform differently), like every other
+        # compilation-variant knob (DESIGN.md §10 remat note).
         draws_all = None
-        if os.environ.get("RPT_RNG_XS", "0") == "1" and not reorder:
+        if os.environ.get("RPT_RNG_XS", "1") == "1" and not reorder:
             draws_all = _precompute_draws(lane_keys, max_bounces, rr_start)
 
         def cond(carry):
@@ -880,15 +946,32 @@ def trace_resume(scene, o, d, thr, rad, alive, lane_keys, background,
         occupancy=zero_scalar + jnp.zeros((MAX_BOUNCE_STATS,), jnp.float32),
     )
 
+    import os
+
+    # same RNG hoist as trace()'s nondiff loop, sliced to this stage's
+    # bounce range (the cascade re-derives per stage at the compacted
+    # width, so the precompute shrinks with the wavefront)
+    draws_all = None
+    if (os.environ.get("RPT_RNG_XS", "1") == "1"
+            and start_bounce < max_bounces):
+        draws_all = _precompute_draws(
+            lane_keys, max_bounces, rr_start, start_bounce=start_bounce
+        )
+
     def cond(carry):
         bounce, s = carry
         return (bounce < max_bounces) & jnp.any(s["alive"])
 
     def body(carry):
         bounce, s = carry
+        d_b = None if draws_all is None else jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_index_in_dim(
+                a, bounce - start_bounce, 0, keepdims=False), draws_all,
+        )
         return (
             bounce + 1,
-            _bounce_step(scene, lane_keys, background, rr_start, s, bounce),
+            _bounce_step(scene, lane_keys, background, rr_start, s, bounce,
+                         draws=d_b),
         )
 
     bounce_end, state = jax.lax.while_loop(

@@ -69,11 +69,22 @@ def noise3(points, seed=0):
     the replacement for the reference's per-run-random permutation
     table (texture.rs:55).
     """
+    return noise3_planes(
+        points[..., 0], points[..., 1], points[..., 2], seed
+    )
+
+
+def noise3_planes(pxp, pyp, pzp, seed=0):
+    """noise3 on separate component planes (any matching shapes).
+
+    Same math bit-for-bit as the stacked entry point; the plane form is
+    what the fused Pallas bounce kernel calls (ops/fused_bounce.py), so
+    the texture path has ONE implementation on and off chip.
+    """
     seed = jnp.asarray(seed, jnp.uint32)
-    pf = jnp.floor(points)
-    pi = pf.astype(jnp.int32)
-    x, y, z = (points - pf)[..., 0], (points - pf)[..., 1], (points - pf)[..., 2]
-    ix, iy, iz = pi[..., 0], pi[..., 1], pi[..., 2]
+    xf, yf, zf = jnp.floor(pxp), jnp.floor(pyp), jnp.floor(pzp)
+    ix, iy, iz = (f.astype(jnp.int32) for f in (xf, yf, zf))
+    x, y, z = pxp - xf, pyp - yf, pzp - zf
 
     u, v, w = _fade(x), _fade(y), _fade(z)
 
@@ -98,13 +109,18 @@ def noise3(points, seed=0):
 
 def turbulence(points, seed=0, depth: int = TURBULENCE_DEPTH):
     """|sum_k 0.5^k noise(2^k p)| (texture.rs:60-72)."""
-    acc = jnp.zeros(points.shape[:-1], points.dtype)
-    p = points
+    return turbulence_planes(
+        points[..., 0], points[..., 1], points[..., 2], seed, depth
+    )
+
+
+def turbulence_planes(px, py, pz, seed=0, depth: int = TURBULENCE_DEPTH):
+    acc = jnp.zeros(px.shape, px.dtype)
     weight = 1.0
     for _ in range(depth):
-        acc = acc + weight * noise3(p, seed)
+        acc = acc + weight * noise3_planes(px, py, pz, seed)
         weight *= 0.5
-        p = p * 2.0
+        px, py, pz = px * 2.0, py * 2.0, pz * 2.0
     return jnp.abs(acc)
 
 
@@ -113,5 +129,11 @@ def marble(points, seed, scale):
 
     Returns (...,) grayscale values in [0, 1].
     """
-    t = turbulence(points, seed)
-    return 0.5 * (1.0 - jnp.sin(scale * points[..., 2] + 10.0 * t))
+    return marble_planes(
+        points[..., 0], points[..., 1], points[..., 2], seed, scale
+    )
+
+
+def marble_planes(px, py, pz, seed, scale):
+    t = turbulence_planes(px, py, pz, seed)
+    return 0.5 * (1.0 - jnp.sin(scale * pz + 10.0 * t))

@@ -396,6 +396,19 @@ class SceneBuilder:
             depth_of.append(d)
             checker_depth = max(checker_depth, d)
 
+        # shading is table-free (fused-bounce eligible) when every
+        # texture is solid / perlin / checker whose children are both
+        # solid leaves (same rule as build_projected's shade_ready)
+        shade_static = all(
+            k in (TEX_SOLID, TEX_PERLIN)
+            or (
+                k == TEX_CHECKER
+                and self._tex_kind[c0] == TEX_SOLID
+                and self._tex_kind[c1] == TEX_SOLID
+            )
+            for k, (c0, c1) in zip(self._tex_kind, self._tex_child)
+        )
+
         return SceneData(
             leaf_size=int(leaf_size) if use_bvh else 0,
             prim_types=tuple(sorted(set(int(k) for k in prim_kind))),
@@ -409,6 +422,7 @@ class SceneBuilder:
                 if len(prim_kind) <= MAX_PALLAS_PRIMS
                 else None
             ),
+            shade_static=shade_static,
             proj=proj,
             prims=Primitives(
                 kind=jnp.asarray(prim_kind),

@@ -125,6 +125,13 @@ class SceneData:
     kinds_static: Optional[Tuple[Tuple[int, int], ...]] = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
+    # True when every texture is solid / checker-of-solids / perlin —
+    # the whole shading row is then table-free in-register math, which
+    # lets the fused Pallas bounce kernel (ops/fused_bounce.py) run the
+    # entire bounce in one kernel for kinds_static scenes
+    shade_static: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
     # projected-sweep tables (ops/projected.ProjTables) for scenes past
     # the unrolled-sweep size; None on small scenes / when unused
     proj: Optional[object] = None

@@ -179,6 +179,18 @@ def render_radiance_regen(
 
     reorder = use_wavefront_reorder(scene)
 
+    from rust_pathtracer_tpu.ops.fused_bounce import (
+        fused_bounce_interpret,
+        fused_bounce_ok,
+    )
+    from rust_pathtracer_tpu.ops.pallas_intersect import pallas_available
+
+    use_fb = (
+        not reorder
+        and fused_bounce_ok(scene)
+        and (pallas_available() or fused_bounce_interpret())
+    )
+
     state = dict(
         work=init_work,                               # -1 => lane idle
         pixel=pixel0,
@@ -254,14 +266,6 @@ def render_radiance_regen(
         alive, depth, lkeys = s["alive"], s["depth"], s["lkeys"]
         segments = s["segments"] + jnp.sum(alive.astype(jnp.float32))
 
-        hit_mask, rec, shade_row, _cl = search_and_record(scene, o, d, alive)
-        si = shade_inputs(scene, rec, shade_row)
-
-        miss = alive & ~hit_mask
-        rad = rad + jnp.where(miss[..., None], thr * bg, 0.0)
-        em = emitted(scene, rec, si)
-        rad = rad + jnp.where(hit_mask[..., None], thr * em, 0.0)
-
         # per-lane path depth drives the RNG fold (matches chunked mode)
         sphere_dir = sampling.on_unit_sphere(
             sampling.bounce_keys(lkeys, depth, sampling.P_LAMBERT))
@@ -269,14 +273,46 @@ def render_radiance_regen(
             sampling.bounce_keys(lkeys, depth, sampling.P_FUZZ))
         coin = sampling.uniform(
             sampling.bounce_keys(lkeys, depth, sampling.P_SCHLICK))
-        sc = scatter(scene, rec, d, sphere_dir, ball_dir, coin, si)
 
         depth_old = depth
         depth = depth + alive.astype(jnp.int32)
-        cont = alive & hit_mask & sc.did_scatter & (depth < max_bounces)
-        thr = jnp.where(cont[..., None], thr * sc.attenuation, thr)
-        o = vm.where(cont, rec.point, o)
-        d = vm.where(cont, sc.direction, d)
+        depth_ok = depth < max_bounces
+        if use_fb:
+            # fused whole-bounce kernel (ops/fused_bounce.py).  The
+            # kernel commits o/d/thr with its own cont (no depth cap);
+            # lanes the cap kills below are dead either way and their
+            # state is never read again (flush uses rad+work only,
+            # respawn overwrites), so the estimator is unchanged.
+            from rust_pathtracer_tpu.integrator import T_MIN
+            from rust_pathtracer_tpu.ops.fused_bounce import (
+                fused_bounce_apply,
+            )
+            from rust_pathtracer_tpu.ops.pallas_intersect import (
+                pallas_available,
+            )
+
+            o, d, thr, rad, cont_k = fused_bounce_apply(
+                scene, o, d, thr, rad, alive, sphere_dir, ball_dir, coin,
+                bg, T_MIN, interpret=not pallas_available(),
+            )
+            cont = cont_k & depth_ok
+        else:
+            hit_mask, rec, shade_row, _cl = search_and_record(
+                scene, o, d, alive
+            )
+            si = shade_inputs(scene, rec, shade_row)
+
+            miss = alive & ~hit_mask
+            rad = rad + jnp.where(miss[..., None], thr * bg, 0.0)
+            em = emitted(scene, rec, si)
+            rad = rad + jnp.where(hit_mask[..., None], thr * em, 0.0)
+
+            sc = scatter(scene, rec, d, sphere_dir, ball_dir, coin, si)
+
+            cont = alive & hit_mask & sc.did_scatter & depth_ok
+            thr = jnp.where(cont[..., None], thr * sc.attenuation, thr)
+            o = vm.where(cont, rec.point, o)
+            d = vm.where(cont, sc.direction, d)
 
         # Russian roulette, per-lane (depths differ in the regen pool):
         # same RNG fold (lane key, path bounce index = depth_old) and

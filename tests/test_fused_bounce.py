@@ -1,0 +1,204 @@
+"""Fused whole-bounce Pallas kernel vs the composed jnp path.
+
+The kernel (ops/fused_bounce.py) runs search + record + texture +
+scatter + state commit in one pallas_call.  Contract (same as the v1
+intersect kernels): hit/alive masks EXACT, floats to fusion-rounding
+tolerance.  CPU tests exercise the exact kernel via the Pallas
+interpreter (RPT_FB_INTERPRET=1).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rust_pathtracer_tpu import sampling
+from rust_pathtracer_tpu.integrator import trace
+from rust_pathtracer_tpu.models import get_scene
+from rust_pathtracer_tpu.scene.builder import SceneBuilder
+
+KEY = jax.random.PRNGKey(7)
+
+
+def _lane_keys(n, seed=0):
+    return sampling.lane_keys(
+        jax.random.PRNGKey(seed), jnp.arange(n, dtype=jnp.uint32)
+    )
+
+
+def _full_scene():
+    """Every material kind + solid/checker/perlin textures + every
+    primitive kind — the fused kernel's whole routing surface."""
+    b = SceneBuilder()
+    checker = b.checker_texture(
+        b.solid_texture((0.2, 0.3, 0.1)), b.solid_texture((0.9, 0.9, 0.9))
+    )
+    perlin = b.perlin_texture(4.0)
+    b.add_sphere((0, -100.5, -3), 100.0, b.lambertian(checker))
+    b.add_sphere((0, 0.5, -3), 0.5, b.lambertian(perlin))
+    b.add_sphere((1.2, 0.5, -3), 0.5, b.metal((0.8, 0.7, 0.6), fuzz=0.2))
+    b.add_sphere((-1.2, 0.5, -3), 0.5, b.dielectric(1.5))
+    b.add_sphere((-1.2, 0.5, -3), -0.4, b.dielectric(1.5))  # hollow shell
+    b.add_rect("xz", (-2, 3.0, -5), (2, 3.0, -1), -1.0,
+               b.diffuse_light((4, 4, 4)))
+    b.add_triangle((2.2, 0.0, -4), (3.2, 0.0, -4), (2.7, 1.2, -4),
+                   b.lambertian((0.6, 0.2, 0.2)))
+    return b.build(use_bvh=False)
+
+
+def _rays(n):
+    ang = jnp.linspace(-0.5, 0.5, n)
+    o = jnp.tile(jnp.asarray([[0.0, 0.8, 1.5]]), (n, 1))
+    d = jnp.stack(
+        [jnp.sin(ang), 0.3 * jnp.cos(5 * ang) - 0.3, -jnp.cos(ang)], axis=1
+    )
+    return o, d
+
+
+def test_scene_flags():
+    scene = _full_scene()
+    assert scene.shade_static
+    assert scene.kinds_static is not None
+    for name in ("CornellBox", "TriangleTest", "LightTest",
+                 "TwoSphereCheckers"):
+        sd = get_scene(name)
+        s = sd.build()
+        assert s.shade_static, name
+        assert s.kinds_static is not None, name
+
+    # image textures must opt OUT
+    b = SceneBuilder()
+    img = np.linspace(0, 1, 4 * 4 * 3).reshape(4, 4, 3).astype(np.float32)
+    b.add_sphere((0, 0, -3), 1.0, b.lambertian(b.image_texture(img)))
+    assert not b.build(use_bvh=False).shade_static
+
+
+def _compare_diverging(rad0, rad1, st0, st1, max_flip_frac=0.02):
+    """Multi-bounce kernel-vs-jnp comparison.
+
+    Like the v1 intersect kernel, the fused kernel's floats agree with
+    the jnp path only to a few ulp (different fusions) — and over
+    multiple bounces an ulp flip of a DISCRETE choice (dielectric coin,
+    metal grazing test) reroutes that lane's whole path.  So the
+    contract here is statistical: almost every lane identical to
+    tolerance, a tiny flipped fraction allowed, means tight, segment
+    counts within the flipped fraction."""
+    r0, r1 = np.asarray(rad0), np.asarray(rad1)
+    lane_diff = np.abs(r1 - r0).max(axis=-1)
+    scale = np.abs(r0).max(axis=-1) + 1e-3
+    flipped = lane_diff > 1e-3 * scale
+    assert flipped.mean() <= max_flip_frac, flipped.mean()
+    np.testing.assert_allclose(r1.mean(axis=0), r0.mean(axis=0), rtol=0.03,
+                               atol=5e-3)
+    s0, s1 = float(st0.segments), float(st1.segments)
+    assert abs(s1 - s0) <= max(8.0, 0.05 * s0), (s0, s1)
+
+
+def test_fused_bounce_matches_trace(monkeypatch):
+    """Full multi-bounce trace through the interpreter-mode kernel vs
+    the jnp path: statistically identical (see _compare_diverging)."""
+    scene = _full_scene()
+    o, d = _rays(192)
+    keys = _lane_keys(192)
+    bg = (0.3, 0.4, 0.5)
+    rad0, st0 = trace(scene, o, d, keys, bg, max_bounces=8)
+    monkeypatch.setenv("RPT_FB_INTERPRET", "1")
+    jax.clear_caches()
+    rad1, st1 = trace(scene, o, d, keys, bg, max_bounces=8)
+    monkeypatch.delenv("RPT_FB_INTERPRET")
+    jax.clear_caches()
+    _compare_diverging(rad0, rad1, st0, st1)
+
+
+def test_fused_bounce_roulette_matches(monkeypatch):
+    scene = _full_scene()
+    o, d = _rays(128)
+    keys = _lane_keys(128, seed=3)
+    bg = (0.1, 0.1, 0.1)
+    rad0, st0 = trace(scene, o, d, keys, bg, max_bounces=10,
+                      russian_roulette_start=3)
+    monkeypatch.setenv("RPT_FB_INTERPRET", "1")
+    jax.clear_caches()
+    rad1, st1 = trace(scene, o, d, keys, bg, max_bounces=10,
+                      russian_roulette_start=3)
+    monkeypatch.delenv("RPT_FB_INTERPRET")
+    jax.clear_caches()
+    _compare_diverging(rad0, rad1, st0, st1)
+
+
+def test_fused_bounce_single_step_exact_masks(monkeypatch):
+    """One bounce: alive-out mask and banked radiance must agree with
+    the composed path lane-for-lane (mask exact, floats tight)."""
+    from rust_pathtracer_tpu.integrator import MAX_BOUNCE_STATS, _bounce_step
+
+    scene = _full_scene()
+    o, d = _rays(256)
+    keys = _lane_keys(256, seed=11)
+    zeros3 = o * 0.0
+    state = dict(
+        o=o, d=d, thr=zeros3 + 1.0, rad=zeros3,
+        alive=zeros3[..., 0] == 0.0,
+        segments=jnp.float32(0.0),
+        occupancy=jnp.zeros((MAX_BOUNCE_STATS,), jnp.float32),
+    )
+    bg = jnp.asarray((0.2, 0.1, 0.05), jnp.float32)
+    out0 = _bounce_step(scene, keys, bg, 99, dict(state), jnp.int32(0))
+    monkeypatch.setenv("RPT_FB_INTERPRET", "1")
+    jax.clear_caches()
+    out1 = _bounce_step(scene, keys, bg, 99, dict(state), jnp.int32(0))
+    monkeypatch.delenv("RPT_FB_INTERPRET")
+    jax.clear_caches()
+    assert np.array_equal(np.asarray(out1["alive"]), np.asarray(out0["alive"]))
+    # float tolerance: the two compilations contract FMAs differently;
+    # the r=100 ground sphere's |oc|^2 - r^2 cancellation amplifies a
+    # t ulp to ~1e-4 relative, and perlin's sin(10*turb(p)) amplifies
+    # the hit-point ulp similarly — honest contract, not slack
+    for k in ("o", "d", "thr", "rad"):
+        np.testing.assert_allclose(
+            np.asarray(out1[k]), np.asarray(out0[k]), rtol=1e-3, atol=1e-4,
+            err_msg=k,
+        )
+
+
+def test_fused_bounce_cornellbox_render(monkeypatch):
+    """End-to-end CornellBox render through the kernel (interpreter)."""
+    from rust_pathtracer_tpu.render import RenderSettings, render_radiance
+
+    sd = get_scene("CornellBox")
+    scene = sd.build()
+    cam = sd.camera_at(0.0)
+    s = RenderSettings(24, 24, 4, 8, (0.0, 0.0, 0.0))
+    img0, st0 = render_radiance(scene, cam, s, KEY)
+    monkeypatch.setenv("RPT_FB_INTERPRET", "1")
+    jax.clear_caches()
+    img1, st1 = render_radiance(scene, cam, s, KEY)
+    monkeypatch.delenv("RPT_FB_INTERPRET")
+    jax.clear_caches()
+    _compare_diverging(
+        np.asarray(img0).reshape(-1, 3), np.asarray(img1).reshape(-1, 3),
+        st0, st1,
+    )
+
+
+def test_fused_bounce_regen_lighttest(monkeypatch):
+    """Regen wavefront through the fused kernel (interpreter) vs jnp:
+    LightTest-style scene (perlin ground + one-sided rect lights)."""
+    from rust_pathtracer_tpu.render import RenderSettings
+    from rust_pathtracer_tpu.wavefront import render_radiance_regen
+
+    sd = get_scene("LightTest")
+    scene = sd.build()
+    cam = sd.camera_at(0.0)
+    s = RenderSettings(20, 12, 8, 12, (0.0, 0.0, 0.0))
+    img0, st0 = render_radiance_regen(scene, cam, s, KEY, lanes=1024,
+                                      flush_every=2)
+    monkeypatch.setenv("RPT_FB_INTERPRET", "1")
+    jax.clear_caches()
+    img1, st1 = render_radiance_regen(scene, cam, s, KEY, lanes=1024,
+                                      flush_every=2)
+    monkeypatch.delenv("RPT_FB_INTERPRET")
+    jax.clear_caches()
+    _compare_diverging(
+        np.asarray(img0).reshape(-1, 3), np.asarray(img1).reshape(-1, 3),
+        st0, st1, max_flip_frac=0.05,
+    )

@@ -67,8 +67,16 @@ def main():
 
         step = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
 
+        # NOTE: dispatch only — the timed batch ends with ONE fetch
+        # (sync()).  Fetching per rep costs ~20 ms of tunnel round
+        # trip per tiny array and inflated the first version of this
+        # probe by ~70 ms/step vs bench.py.
         def run():
             (loss, segments), grads = step(params)
+            return loss, segments, grads
+
+        def sync(out):
+            loss, segments, grads = out
             leaves = jax.tree_util.tree_leaves(grads)
             _ = float(sum(jnp.sum(jnp.abs(g)) for g in leaves))
             return float(loss), float(segments)
@@ -83,7 +91,10 @@ def main():
         step = jax.jit(fwd_fn)
 
         def run():
-            loss, segments = step(params)
+            return step(params)
+
+        def sync(out):
+            loss, segments = out
             return float(loss), float(segments)
     else:
         cam = sd.camera_at(0.0)
@@ -94,16 +105,21 @@ def main():
             return jnp.mean(img), stats.segments
 
         def run():
-            loss, segments = nd()
+            return nd()
+
+        def sync(out):
+            loss, segments = out
             return float(loss), float(segments)
 
-    loss, segs = run()
+    loss, segs = sync(run())
     print(f"# warmup: loss={loss:.6f} segs={segs:.0f}", file=sys.stderr)
 
     def one_batch():
         t0 = time.perf_counter()
+        out = None
         for _ in range(args.reps):
-            run()
+            out = run()
+        sync(out)
         return (time.perf_counter() - t0) / args.reps
 
     times = sorted(one_batch() for _ in range(args.batches))
