@@ -455,38 +455,44 @@ def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
     # record + texture + scatter + commit in ONE kernel for small
     # static scenes with table-free shading.  RNG draws stay in XLA
     # (bitwise jax.random), as do roulette and the stats above.
-    use_fb = False
-    if not differentiable and not reorder:
+    use_fb = use_fbd = False
+    if not reorder:
         from rust_pathtracer_tpu.ops.fused_bounce import (
             fused_bounce_apply,
+            fused_bounce_diff_apply,
+            fused_bounce_diff_ok,
             fused_bounce_interpret,
             fused_bounce_ok,
         )
         from rust_pathtracer_tpu.ops.pallas_intersect import pallas_available
 
-        use_fb = fused_bounce_ok(scene) and (
-            pallas_available() or fused_bounce_interpret()
-        )
-    if use_fb:
+        kernel_ok = pallas_available() or fused_bounce_interpret()
+        use_fb = not differentiable and fused_bounce_ok(scene) and kernel_ok
+        use_fbd = differentiable and fused_bounce_diff_ok(scene) and kernel_ok
+    if use_fb or use_fbd:
+        sg = jax.lax.stop_gradient
         if draws is not None:
             sphere_dir, ball_dir, coin = (
                 draws["sphere"], draws["ball"], draws["coin"]
             )
         else:
-            sphere_dir = sampling.on_unit_sphere(
-                sampling.bounce_keys(lane_keys, bounce, sampling.P_LAMBERT))
-            ball_dir = sampling.in_unit_sphere(
-                sampling.bounce_keys(lane_keys, bounce, sampling.P_FUZZ))
-            coin = sampling.uniform(
-                sampling.bounce_keys(lane_keys, bounce, sampling.P_SCHLICK))
-        o, d, thr, rad, alive = fused_bounce_apply(
+            sphere_dir = sg(sampling.on_unit_sphere(
+                sampling.bounce_keys(lane_keys, bounce, sampling.P_LAMBERT)))
+            ball_dir = sg(sampling.in_unit_sphere(
+                sampling.bounce_keys(lane_keys, bounce, sampling.P_FUZZ)))
+            coin = sg(sampling.uniform(
+                sampling.bounce_keys(lane_keys, bounce, sampling.P_SCHLICK)))
+        apply_fn = fused_bounce_diff_apply if use_fbd else fused_bounce_apply
+        o, d, thr, rad, alive = apply_fn(
             scene, o, d, thr, rad, alive, sphere_dir, ball_dir, coin,
             background, T_MIN, interpret=not pallas_available(),
         )
 
         def roulette_fb(args):
             thr, alive = args
-            p = jnp.clip(jnp.max(thr, axis=-1), 0.05, 1.0)
+            p = jnp.clip(
+                jnp.max(jax.lax.stop_gradient(thr), axis=-1), 0.05, 1.0
+            )
             has_rr = draws is not None and "roulette" in draws
             u = draws["roulette"] if has_rr else sampling.uniform(
                 sampling.bounce_keys(lane_keys, bounce, sampling.P_ROULETTE)

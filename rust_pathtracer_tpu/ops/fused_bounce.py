@@ -127,7 +127,23 @@ def pack_prims_shaded(scene):
     )
 
 
-def _kernel(kinds, mat_types, tex_types, t_min,
+# residual `flags` bit layout (ops/fused_bounce custom VJP)
+FLG_HIT = 1
+FLG_FRONT = 2
+FLG_CONT = 4
+FLG_REFLECT = 8       # dielectric chose reflect
+FLG_SINES_NEG = 16    # checker picked the odd child
+FLG_SEL_L = 32
+FLG_SEL_M = 64
+FLG_SEL_D = 128
+FLG_LIGHT_ON = 256    # front-face light emission fired
+FLG_COS_CLAMP = 512   # dielectric cos_t hit the min(.,1) clamp
+FLG_REFR_ZERO = 1024  # refract safe_sqrt at <= 0 (zero gradient)
+FLG_L_NEG = 2048      # refract 1-|perp|^2 < 0 (abs() flips the sign)
+FLG_IS_CK = 4096      # winning prim's texture is a checker
+
+
+def _kernel(kinds, mat_types, tex_types, t_min, want_residuals,
             prim_ref, bg_ref, seed_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             tx_ref, ty_ref, tz_ref, rx_ref, ry_ref, rz_ref,
@@ -135,7 +151,7 @@ def _kernel(kinds, mat_types, tex_types, t_min,
             cn_ref,
             oxo_ref, oyo_ref, ozo_ref, dxo_ref, dyo_ref, dzo_ref,
             txo_ref, tyo_ref, tzo_ref, rxo_ref, ryo_ref, rzo_ref,
-            alo_ref):
+            alo_ref, *res_refs):
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
     alive = al_ref[:] > 0.5
@@ -241,12 +257,19 @@ def _kernel(kinds, mat_types, tex_types, t_min,
     py = oy + t * dy
     pz = oz + t * dz
 
+    def flag(mask, bit):
+        return jnp.where(mask, np.int32(bit), np.int32(0))
+
+    flags = flag(hit, FLG_HIT) + flag(front, FLG_FRONT)
+
     # ---- texture value (textures.py eval_texture semantics) ---------
     v0, v1, v2 = c0, c1, c2  # TEX_SOLID
     if TEX_CHECKER in tex_types:
         sines = jnp.sin(ts * px) * jnp.sin(ts * py) * jnp.sin(ts * pz)
         is_ck = tk == float(TEX_CHECKER)
         pick = sines < 0.0
+        flags = (flags + flag(is_ck & pick, FLG_SINES_NEG)
+                 + flag(is_ck, FLG_IS_CK))
         v0 = jnp.where(is_ck, jnp.where(pick, od0, ev0), v0)
         v1 = jnp.where(is_ck, jnp.where(pick, od1, ev1), v1)
         v2 = jnp.where(is_ck, jnp.where(pick, od2, ev2), v2)
@@ -267,6 +290,7 @@ def _kernel(kinds, mat_types, tex_types, t_min,
     rdz = rdz + jnp.where(miss, thz * bg2, 0.0)
     if MAT_LIGHT in mat_types:
         em_on = hit & (mk == float(MAT_LIGHT)) & front
+        flags = flags + flag(em_on, FLG_LIGHT_ON)
         rdx = rdx + jnp.where(em_on, thx * v0, 0.0)
         rdy = rdy + jnp.where(em_on, thy * v1, 0.0)
         rdz = rdz + jnp.where(em_on, thz * v2, 0.0)
@@ -297,6 +321,7 @@ def _kernel(kinds, mat_types, tex_types, t_min,
         dly = jnp.where(nz_mask, ny, dly)
         dlz = jnp.where(nz_mask, nz, dlz)
         sel = mk == float(MAT_LAMBERTIAN)
+        flags = flags + flag(sel, FLG_SEL_L)
         did = did | sel
         sdx = jnp.where(sel, dlx, sdx)
         sdy = jnp.where(sel, dly, sdy)
@@ -312,6 +337,7 @@ def _kernel(kinds, mat_types, tex_types, t_min,
         rfz = uz - 2.0 * dn * nz
         ok = rfx * nx + rfy * ny + rfz * nz > 0.0
         sel = mk == float(MAT_METAL)
+        flags = flags + flag(sel, FLG_SEL_M)
         did = did | (sel & ok)
         sdx = jnp.where(sel, rfx + fz * bx_ref[:], sdx)
         sdy = jnp.where(sel, rfy + fz * by_ref[:], sdy)
@@ -320,9 +346,11 @@ def _kernel(kinds, mat_types, tex_types, t_min,
         at1 = jnp.where(sel, v1, at1)
         at2 = jnp.where(sel, v2, at2)
 
+    ratio = jnp.ones(shape, jnp.float32)
     if MAT_DIELECTRIC in mat_types:
         ratio = jnp.where(front, 1.0 / ir_, ir_)
-        cos_t = jnp.minimum(-(ux * nx + uy * ny + uz * nz), 1.0)
+        raw_cos = -(ux * nx + uy * ny + uz * nz)
+        cos_t = jnp.minimum(raw_cos, 1.0)
         sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
         cannot = ratio * sin_t > 1.0
         r0 = ((1.0 - ratio) / (1.0 + ratio)) ** 2
@@ -338,6 +366,7 @@ def _kernel(kinds, mat_types, tex_types, t_min,
         opy = ratio * (uy + cos_t * ny)
         opz = ratio * (uz + cos_t * nz)
         plen = jnp.abs(1.0 - (opx * opx + opy * opy + opz * opz))
+        raw_l = 1.0 - (opx * opx + opy * opy + opz * opz)
         # vecmath.safe_sqrt: 0 at <= 0
         par = -jnp.where(plen <= 0.0, 0.0,
                          jnp.sqrt(jnp.where(plen <= 0.0, 1.0, plen)))
@@ -348,6 +377,11 @@ def _kernel(kinds, mat_types, tex_types, t_min,
         ddy = jnp.where(choose_reflect, rfy, rry)
         ddz = jnp.where(choose_reflect, rfz, rrz)
         sel = mk == float(MAT_DIELECTRIC)
+        flags = (flags + flag(sel, FLG_SEL_D)
+                 + flag(choose_reflect, FLG_REFLECT)
+                 + flag(raw_cos >= 1.0, FLG_COS_CLAMP)
+                 + flag(plen <= 0.0, FLG_REFR_ZERO)
+                 + flag(raw_l < 0.0, FLG_L_NEG))
         did = did | sel
         sdx = jnp.where(sel, ddx, sdx)
         sdy = jnp.where(sel, ddy, sdy)
@@ -372,13 +406,32 @@ def _kernel(kinds, mat_types, tex_types, t_min,
     rzo_ref[:] = rdz
     alo_ref[:] = cont.astype(jnp.float32)
 
+    if want_residuals:
+        # what the hand-written VJP (fused_bounce_vjp) consumes — see
+        # _bounce_bwd for the exact formulas each field feeds
+        (t_ref, rnx_ref, rny_ref, rnz_ref, rv0_ref, rv1_ref, rv2_ref,
+         rratio_ref, rflags_ref, rbesti_ref) = res_refs
+        flags = flags + flag(cont, FLG_CONT)
+        t_ref[:] = t
+        rnx_ref[:] = nx
+        rny_ref[:] = ny
+        rnz_ref[:] = nz
+        rv0_ref[:] = v0
+        rv1_ref[:] = v1
+        rv2_ref[:] = v2
+        rratio_ref[:] = ratio
+        rflags_ref[:] = flags
+        rbesti_ref[:] = best_i
+
 
 @functools.partial(jax.jit, static_argnames=("kinds", "mat_types",
                                              "tex_types", "t_min",
-                                             "interpret"))
+                                             "interpret",
+                                             "want_residuals"))
 def _fused_bounce(packed, bg, seed, o, d, thr, rad, alive,
                   sphere_dir, ball_dir, coin, *, kinds, mat_types,
-                  tex_types, t_min, interpret=False):
+                  tex_types, t_min, interpret=False,
+                  want_residuals=False):
     R = o.shape[0]
     lane_block = BLOCK_ROWS * 128
     rp = -(-R // lane_block) * lane_block
@@ -406,8 +459,14 @@ def _fused_bounce(packed, bg, seed, o, d, thr, rad, alive,
     tab_space = pltpu.SMEM if packed.shape[1] <= 128 else pltpu.VMEM
     vma = jax.typeof(o).vma  # shard_map check_vma (see pallas_intersect)
     f32 = jax.ShapeDtypeStruct((rows, 128), jnp.float32, vma=vma)
+    i32 = jax.ShapeDtypeStruct((rows, 128), jnp.int32, vma=vma)
+    n_out = 13 + (10 if want_residuals else 0)
+    out_shape = (f32,) * 13
+    if want_residuals:
+        out_shape = out_shape + (f32,) * 8 + (i32, i32)
     outs = pl.pallas_call(
-        functools.partial(_kernel, kinds, mat_types, tex_types, t_min),
+        functools.partial(_kernel, kinds, mat_types, tex_types, t_min,
+                          want_residuals),
         grid=grid,
         in_specs=[
             pl.BlockSpec(packed.shape, lambda i: (0, 0),
@@ -415,24 +474,35 @@ def _fused_bounce(packed, bg, seed, o, d, thr, rad, alive,
             pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ] + [ray_spec] * 20,
-        out_specs=(ray_spec,) * 13,
-        out_shape=(f32,) * 13,
+        out_specs=(ray_spec,) * n_out,
+        out_shape=out_shape,
         interpret=interpret,
     )(packed, bg.reshape(1, 3), seed.reshape(1, 1), *planes)
 
     def unplane(x):
         return x.reshape(-1)[:R]
 
-    (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, al) = (
-        unplane(x) for x in outs
-    )
-    return (
+    outs = [unplane(x) for x in outs]
+    (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, al) = outs[:13]
+    state_out = (
         jnp.stack([ox, oy, oz], 1),
         jnp.stack([dx, dy, dz], 1),
         jnp.stack([tx, ty, tz], 1),
         jnp.stack([rx, ry, rz], 1),
         al > 0.5,
     )
+    if not want_residuals:
+        return state_out
+    (t, nx, ny, nz, v0, v1, v2, ratio, flags, best_i) = outs[13:]
+    res = dict(
+        t=t,
+        n=jnp.stack([nx, ny, nz], 1),
+        val=jnp.stack([v0, v1, v2], 1),
+        ratio=ratio,
+        flags=flags,
+        best_i=best_i,
+    )
+    return state_out, res
 
 
 def fused_bounce_apply(scene, o, d, thr, rad, alive, sphere_dir,
@@ -454,3 +524,257 @@ def fused_bounce_apply(scene, o, d, thr, rad, alive, sphere_dir,
         interpret=interpret,
     )
     return o2, d2, t2, r2, al2
+
+
+# ---------------------------------------------------------------------------
+# differentiable path: Pallas forward + hand-written closed-form backward
+# ---------------------------------------------------------------------------
+#
+# The custom VJP computes exactly what reverse-mode AD computes through
+# the XLA diff bounce under the DEFAULT estimator (integrator._bounce_step
+# with RPT_DIFF_T=analytic, detached sampling):
+#
+# * discrete events (hit/idx, material choice, dielectric coin, metal
+#   grazing absorb, checker pick, near-zero fallback) are detached;
+# * t is the implicit-function linearization (integrator._analytic_t):
+#   dt/do = -n/(n.d), dt/dd = -t n/(n.d) — any nonzero multiple of the
+#   surface normal works (scale and sign cancel in the ratio), so the
+#   kernel's saved flipped unit normal serves;
+# * the sphere's shading normal is differentiable through the hit point
+#   (record_from_rows: n = flip*(point-c)/r, so dn/dpoint = flip/r);
+#   rect/triangle shading normals are constants;
+# * texture-value gradients route to the packed table's color rows
+#   (solid / checker-odd / checker-even by the saved pick flags);
+#   pack_prims_shaded is plain differentiable gather code, so XLA
+#   carries d_packed on to scene.textures.color (the DiffParams leaf)
+#   automatically.
+#
+# Like the XLA analytic-t default, hit-distance geometry gradients
+# (d/d prims.data) are dropped — prims.data is not a DiffParams leaf
+# (integrator.trace docstring documents the limitation).
+#
+# Supported: solid + checker-of-solids textures.  Perlin's
+# d(value)/d(point) term is not implemented — scenes with perlin keep
+# the XLA diff path (fused_bounce_diff_ok gates).
+
+
+def fused_bounce_diff_ok(scene) -> bool:
+    """Static routing for the differentiable fused bounce.
+
+    Default OFF (opt-in via RPT_FUSED_BOUNCE_DIFF=1): the fused diff
+    FORWARD wins (58.3 vs 67.9 ms on the v5e CornellBox 512^2 bench
+    step) but the hand-written backward currently loses to XLA AD's
+    transposed scan (fwd+bwd 115.9 vs 86.6 ms) — see DESIGN.md §13
+    for the decomposition.  Flip the default once the backward beats
+    AD."""
+    return (
+        fused_bounce_ok(scene)
+        and set(scene.tex_types) <= {TEX_SOLID, TEX_CHECKER}
+        and os.environ.get("RPT_DIFF_T", "analytic") == "analytic"
+        and os.environ.get("RPT_FUSED_BOUNCE_DIFF", "0") == "1"
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_bounce_vjp(kinds, mat_types, tex_types, t_min, interpret):
+    P = len(kinds)
+
+    def run(o, d, thr, rad, alive_f, sph, ball, coin, packed, bg,
+            want_res):
+        seed = jnp.zeros((1,), jnp.uint32)  # perlin is gated out here
+        return _fused_bounce(
+            packed, bg, seed, o, d, thr, rad, alive_f > 0.5, sph, ball,
+            coin, kinds=kinds, mat_types=mat_types, tex_types=tex_types,
+            t_min=t_min, interpret=interpret, want_residuals=want_res,
+        )
+
+    @jax.custom_vjp
+    def bounce(o, d, thr, rad, alive_f, sph, ball, coin, packed, bg):
+        return run(o, d, thr, rad, alive_f, sph, ball, coin, packed, bg,
+                   False)
+
+    def fwd(o, d, thr, rad, alive_f, sph, ball, coin, packed, bg):
+        out, res = run(o, d, thr, rad, alive_f, sph, ball, coin, packed,
+                       bg, True)
+        return out, (d, thr, alive_f, bg, res, packed)
+
+    def bwd(saved, cots):
+        d, thr, alive_f, bg, res, packed = saved
+        g_o2, g_d2, g_thr2, g_rad2, _g_alive = cots
+
+        # RPT_FBD_PROBE (perf decomposition only — WRONG GRADIENTS):
+        # "zero" returns zero cotangents (isolates residual traffic +
+        # scan transpose machinery); "notex" skips the packed-color
+        # one-hot contraction (isolates its cost).
+        probe = os.environ.get("RPT_FBD_PROBE", "")
+        if probe == "zero":
+            z3 = jnp.zeros_like(d)
+            return (z3, z3, z3, z3, jnp.zeros_like(alive_f), z3, z3,
+                    jnp.zeros_like(res["t"]), jnp.zeros_like(packed),
+                    jnp.zeros_like(bg))
+
+        t = res["t"]
+        n = res["n"]          # flipped unit shading normal (0 on miss)
+        val = res["val"]
+        ratio = res["ratio"]
+        flags = res["flags"]
+        best_i = res["best_i"]
+
+        hit = _bit(flags, FLG_HIT)
+        front = _bit(flags, FLG_FRONT)
+        cont = _bit(flags, FLG_CONT)
+        choose_reflect = _bit(flags, FLG_REFLECT)
+        sines_neg = _bit(flags, FLG_SINES_NEG)
+        sel_l = _bit(flags, FLG_SEL_L) & cont
+        sel_m = _bit(flags, FLG_SEL_M) & cont
+        sel_d = _bit(flags, FLG_SEL_D) & cont
+        light_on = _bit(flags, FLG_LIGHT_ON)
+        cos_clamp = _bit(flags, FLG_COS_CLAMP)
+        refr_zero = _bit(flags, FLG_REFR_ZERO)
+        l_neg = _bit(flags, FLG_L_NEG)
+        is_ck = _bit(flags, FLG_IS_CK)
+        alive = alive_f > 0.5
+        miss = alive & ~hit
+
+        def m(mask):
+            return mask[:, None].astype(jnp.float32)
+
+        def dot(a, b):
+            return jnp.sum(a * b, axis=-1, keepdims=True)
+
+        a = jnp.sum(d * d, axis=-1, keepdims=True)
+        sa = jnp.sqrt(jnp.maximum(a, _SAFE_EPS))
+        u = d / sa
+        rr = ratio[:, None]
+
+        # ---- scatter direction chains: g_dir -> (g_u, g_n) ----------
+        g_dir = m(cont) * g_d2
+        g_n = m(sel_l) * g_dir  # lambertian: dir = n + sph (or n)
+        g_u = jnp.zeros_like(d)
+
+        refl_m = sel_m | (sel_d & choose_reflect)
+        if (MAT_METAL in mat_types) or (MAT_DIELECTRIC in mat_types):
+            s = dot(u, n)
+            gr = m(refl_m) * g_dir
+            ngr = dot(n, gr)
+            g_u = g_u + gr - 2.0 * n * ngr
+            g_n = g_n - 2.0 * (u * ngr + s * gr)
+
+        if MAT_DIELECTRIC in mat_types:
+            rm = sel_d & ~choose_reflect
+            gout = m(rm) * g_dir
+            raw_cos = -dot(u, n)
+            cos = jnp.minimum(raw_cos, 1.0)
+            perp = rr * (u + cos * n)
+            abs_l = jnp.abs(1.0 - jnp.sum(perp * perp, -1, keepdims=True))
+            s_par = jnp.where(refr_zero[:, None], 0.0, jnp.sqrt(abs_l))
+            g_spar = -dot(n, gout)
+            g_n = g_n - s_par * gout
+            g_absl = jnp.where(
+                refr_zero[:, None], 0.0,
+                g_spar / jnp.maximum(2.0 * s_par, 1e-30),
+            )
+            sign = jnp.where(l_neg[:, None], -1.0, 1.0)
+            g_perp = gout - 2.0 * perp * (sign * g_absl)
+            g_u = g_u + rr * g_perp
+            g_n = g_n + rr * cos * g_perp
+            g_cos = jnp.where(
+                cos_clamp[:, None], 0.0, rr * dot(n, g_perp)
+            )
+            g_u = g_u - n * g_cos
+            g_n = g_n - u * g_cos
+
+        # ---- u = d/|d| -> d ------------------------------------------
+        g_d = m(~cont) * g_d2 + (g_u - u * dot(u, g_u)) / sa
+
+        # ---- throughput / radiance / background ----------------------
+        att = jnp.where(m(sel_l | sel_m), val, 1.0)
+        g_thr = (
+            jnp.where(m(cont), att * g_thr2, g_thr2)
+            + m(miss) * bg[None, :] * g_rad2
+            + m(light_on) * val * g_rad2
+        )
+        g_val = (
+            m(sel_l | sel_m) * thr * g_thr2 + m(light_on) * thr * g_rad2
+        )
+        g_rad = g_rad2
+        g_bg = jnp.sum(m(miss) * thr * g_rad2, axis=0)
+
+        # ---- normal -> hit point (sphere shading normal) -------------
+        # ONE one-hot materialization for all per-prim routing (kind,
+        # radius, and the three color-row targets below)
+        onehot = (
+            (best_i[:, None] == jnp.arange(P, dtype=jnp.int32)[None, :])
+            & hit[:, None]
+        ).astype(jnp.float32)
+        hp = jax.lax.Precision.HIGHEST
+        small = jnp.stack([packed[12], packed[3]], axis=1)  # (P, 2)
+        kr = jnp.matmul(onehot, small, precision=hp)
+        kind_l, r_l = kr[:, 0], kr[:, 1]
+        is_sph = hit & (
+            jnp.round(kind_l).astype(jnp.int32) == PRIM_SPHERE
+        )
+        flip = jnp.where(front, 1.0, -1.0)
+        inv_r = flip / jnp.where(is_sph, jnp.where(r_l == 0.0, 1.0, r_l),
+                                 1.0)
+        g_point = m(cont) * g_o2 + m(is_sph) * inv_r[:, None] * g_n
+
+        # ---- point = o + t(o,d) d; analytic-t chain -------------------
+        g_t = dot(d, g_point)
+        g_o = m(~cont) * g_o2 + g_point
+        g_d = g_d + t[:, None] * g_point
+        den = dot(n, d)
+        den = jnp.where(jnp.abs(den) < 1e-30, 1.0, den)
+        g_o = g_o + g_t * (-n / den)
+        g_d = g_d + g_t * (-t[:, None] * n / den)
+
+        # ---- packed color rows (ONE one-hot MXU contraction) ----------
+        # HIGHEST precision like ops/table.lookup: the one-hot operand
+        # is exact, but the default TPU matmul precision would truncate
+        # g_val to bf16
+        targets = (
+            (PAY_COLOR, hit & ~is_ck),
+            (PAY_ODD, is_ck & sines_neg),
+            (PAY_EVEN, is_ck & ~sines_neg),
+        )
+        gp = jnp.zeros_like(packed)
+        if probe != "notex":
+            gv9 = jnp.concatenate(
+                [g_val * m(mask) for _, mask in targets], axis=1
+            )                                                 # (R, 9)
+            contrib = jnp.einsum(
+                "rp,rc->pc", onehot, gv9,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                                 # (P, 9)
+            for j, (row0, _) in enumerate(targets):
+                gp = gp.at[row0:row0 + 3].add(
+                    contrib[:, 3 * j:3 * j + 3].T
+                )
+
+        zeros3 = jnp.zeros_like(d)
+        return (g_o, g_d, g_thr, g_rad, jnp.zeros_like(alive_f),
+                zeros3, zeros3, jnp.zeros_like(t), gp, g_bg)
+
+    bounce.defvjp(fwd, bwd)
+    return bounce
+
+
+def _bit(flags, b):
+    return (flags & b) != 0
+
+
+def fused_bounce_diff_apply(scene, o, d, thr, rad, alive, sphere_dir,
+                            ball_dir, coin, background, t_min,
+                            interpret=False):
+    """Differentiable fused bounce (custom VJP).  Same state-update
+    semantics as fused_bounce_apply; gradients flow to (o, d, thr, rad),
+    scene.textures.color (via pack_prims_shaded), and background."""
+    packed = pack_prims_shaded(scene)
+    bounce = _make_fused_bounce_vjp(
+        scene.kinds_static, scene.mat_types, scene.tex_types,
+        float(t_min), bool(interpret),
+    )
+    bg = jnp.asarray(background, jnp.float32)
+    return bounce(o, d, thr, rad, alive.astype(jnp.float32), sphere_dir,
+                  ball_dir, coin, packed, bg)

@@ -8,6 +8,7 @@ interpreter (RPT_FB_INTERPRET=1).
 """
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -202,3 +203,138 @@ def test_fused_bounce_regen_lighttest(monkeypatch):
         np.asarray(img0).reshape(-1, 3), np.asarray(img1).reshape(-1, 3),
         st0, st1, max_flip_frac=0.05,
     )
+
+
+def _solid_checker_scene():
+    """Fused-DIFF-eligible scene: solid + checker textures only, all
+    four materials (no perlin/image — fused_bounce_diff_ok gates)."""
+    b = SceneBuilder()
+    checker = b.checker_texture(
+        b.solid_texture((0.2, 0.3, 0.1)), b.solid_texture((0.9, 0.9, 0.9))
+    )
+    b.add_sphere((0, -100.5, -3), 100.0, b.lambertian(checker))
+    b.add_sphere((0, 0.5, -3), 0.5, b.lambertian((0.5, 0.3, 0.2)))
+    b.add_sphere((1.2, 0.5, -3), 0.5, b.metal((0.8, 0.7, 0.6), fuzz=0.2))
+    b.add_sphere((-1.2, 0.5, -3), 0.5, b.dielectric(1.5))
+    b.add_rect("xz", (-2, 3.0, -5), (2, 3.0, -1), -1.0,
+               b.diffuse_light((4, 4, 4)))
+    b.add_triangle((2.2, 0.0, -4), (3.2, 0.0, -4), (2.7, 1.2, -4),
+                   b.lambertian((0.6, 0.2, 0.2)))
+    return b.build(use_bvh=False)
+
+
+def test_fused_bounce_vjp_finite_difference(monkeypatch):
+    """The hand-written backward vs central finite differences of the
+    FUSED forward itself (same forward -> same frozen discrete
+    decisions, so FD measures exactly the derivative the detached
+    estimator defines).  Covers g_o/g_d (incl. the analytic-t and
+    sphere-normal chains), g_thr, packed color rows, and background."""
+    from rust_pathtracer_tpu.integrator import T_MIN
+    from rust_pathtracer_tpu.ops.fused_bounce import (
+        _make_fused_bounce_vjp,
+        pack_prims_shaded,
+    )
+
+    monkeypatch.setenv("RPT_FB_INTERPRET", "1")
+    scene = _solid_checker_scene()
+    R = 96
+    o, d = _rays(R)
+    keys = _lane_keys(R, seed=5)
+    sph = sampling.on_unit_sphere(sampling.bounce_keys(keys, 0, 2))
+    ball = sampling.in_unit_sphere(sampling.bounce_keys(keys, 0, 3))
+    coin = sampling.uniform(sampling.bounce_keys(keys, 0, 4))
+    thr = 0.5 + 0.5 * sampling.uniform(sampling.bounce_keys(keys, 1, 0))
+    thr = jnp.stack([thr, thr * 0.8, thr * 0.6], 1)
+    rad = jnp.zeros((R, 3))
+    alive_f = jnp.ones((R,), jnp.float32)
+    packed = pack_prims_shaded(scene)
+    bg = jnp.asarray((0.25, 0.15, 0.35), jnp.float32)
+
+    bounce = _make_fused_bounce_vjp(
+        scene.kinds_static, scene.mat_types, scene.tex_types,
+        float(T_MIN), True,
+    )
+
+    # fixed random cotangent weights on every output
+    k = jax.random.PRNGKey(42)
+    ws = [jax.random.normal(jax.random.fold_in(k, i), (R, 3))
+          for i in range(4)]
+
+    def loss(o_, d_, thr_, packed_, bg_):
+        o2, d2, t2, r2, _ = bounce(o_, d_, thr_, rad, alive_f, sph, ball,
+                                   coin, packed_, bg_)
+        return (jnp.sum(ws[0] * o2) + jnp.sum(ws[1] * d2)
+                + jnp.sum(ws[2] * t2) + jnp.sum(ws[3] * r2))
+
+    val, grads = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4))(
+        o, d, thr, packed, bg
+    )
+    names = ("o", "d", "thr", "packed", "bg")
+    args = [np.asarray(x, np.float64) for x in (o, d, thr, packed, bg)]
+    rng = np.random.default_rng(7)
+    checked = 0
+    for ai, g in enumerate(grads):
+        g = np.asarray(g)
+        flat = g.ravel()
+        # sample coordinates with non-negligible gradients (f32 FD
+        # cannot resolve tiny ones)
+        idxs = np.argsort(-np.abs(flat))
+        cand = [i for i in idxs[:40] if abs(flat[i]) > 1e-3]
+        for i in rng.permutation(cand)[:8]:
+            eps = max(1e-3 * abs(args[ai].ravel()[i]), 1e-4)
+
+            def at(x):
+                a2 = [a.copy() for a in args]
+                a2[ai] = a2[ai].copy()
+                a2[ai].ravel()[i] = x
+                return float(loss(*[jnp.asarray(a, jnp.float32)
+                                    for a in a2]))
+
+            x0 = args[ai].ravel()[i]
+            fd = (at(x0 + eps) - at(x0 - eps)) / (2 * eps)
+            assert np.isclose(flat[i], fd, rtol=0.05, atol=1e-3), (
+                names[ai], i, flat[i], fd)
+            checked += 1
+    assert checked >= 20  # the sampling must actually exercise slots
+    monkeypatch.delenv("RPT_FB_INTERPRET")
+    jax.clear_caches()
+
+
+def test_fused_bounce_diff_matches_xla_grads(monkeypatch):
+    """End-to-end loss+grads: fused-diff (interpreter) vs the XLA diff
+    path on a solid/checker scene.  Same statistical caveat as the
+    forward comparisons (ulp path flips), so tolerances are loose-ish
+    but far below any formula error."""
+    import dataclasses
+
+    from rust_pathtracer_tpu.grad import (
+        CameraParams,
+        DiffParams,
+        render_loss_and_grad,
+    )
+    from rust_pathtracer_tpu.render import RenderSettings
+
+    scene = _solid_checker_scene()
+    cam = CameraParams.create(
+        (0.0, 1.0, 2.0), (0.0, 0.5, -3.0), (0.0, 1.0, 0.0), 50.0, 1.0
+    )
+    settings = RenderSettings(16, 16, 4, 6, (0.1, 0.2, 0.3))
+    params = DiffParams.from_scene(scene, cam, settings.background)
+    target = jnp.zeros((16, 16, 3))
+
+    monkeypatch.setenv("RPT_FUSED_BOUNCE_DIFF", "0")
+    jax.clear_caches()
+    loss0, g0 = render_loss_and_grad(params, scene, settings, KEY, target)
+    monkeypatch.setenv("RPT_FUSED_BOUNCE_DIFF", "1")
+    monkeypatch.setenv("RPT_FB_INTERPRET", "1")
+    jax.clear_caches()
+    loss1, g1 = render_loss_and_grad(params, scene, settings, KEY, target)
+    monkeypatch.delenv("RPT_FB_INTERPRET")
+    jax.clear_caches()
+    np.testing.assert_allclose(float(loss1), float(loss0), rtol=2e-3)
+    f0, _ = jax.flatten_util.ravel_pytree(g0)
+    f1, _ = jax.flatten_util.ravel_pytree(g1)
+    f0, f1 = np.asarray(f0), np.asarray(f1)
+    assert np.abs(f0).max() > 0
+    scale = np.abs(f0).max()
+    np.testing.assert_allclose(f1, f0, rtol=0.05, atol=2e-3 * scale)
