@@ -411,18 +411,27 @@ def _precompute_draws(lane_keys, max_bounces, rr_start, start_bounce=0):
     The draws depend only on (lane_key, bounce, purpose) — never on the
     path state — so a fixed-length scan can consume them as ``xs`` (and
     a while_loop as a dynamic slice) instead of re-deriving threefry
-    chains inside every bounce body.  vmap over the bounce axis batches
-    the exact same integer threefry computations, so every draw VALUE
-    is bitwise the in-loop value.  Returns a dict of (B, R, ...) arrays
-    indexed by (bounce - start_bounce); roulette only when it can fire.
+    chains inside every bounce body.
+
+    Only the UNIFORMS are hoisted (threefry chains + bit manipulation
+    — exact integer/float ops, bitwise identical at any batch shape);
+    the trig transforms (on_unit_sphere / in_unit_sphere) stay in the
+    loop body at the wavefront's own shape.  Hoisting the transformed
+    draws broke the cascade == plain estimator-identity invariant:
+    XLA vectorizes the transcendental path differently per batch
+    shape (ulp-level), and the cascade precomputes per stage at the
+    compacted width while the plain path precomputes once at full
+    width (caught by test_render_scenes.test_cascade_*).  Returns a
+    dict of (B, R, ...) uniform arrays indexed by
+    (bounce - start_bounce); roulette only when it can fire.
     """
     sg = jax.lax.stop_gradient
 
     def draws_for(b):
         out = dict(
-            sphere=sg(sampling.on_unit_sphere(
+            sphere_u=sg(sampling.uniform2(
                 sampling.bounce_keys(lane_keys, b, sampling.P_LAMBERT))),
-            ball=sg(sampling.in_unit_sphere(
+            ball_u=sg(sampling.uniform3(
                 sampling.bounce_keys(lane_keys, b, sampling.P_FUZZ))),
             coin=sg(sampling.uniform(
                 sampling.bounce_keys(lane_keys, b, sampling.P_SCHLICK))),
@@ -472,9 +481,11 @@ def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
     if use_fb or use_fbd:
         sg = jax.lax.stop_gradient
         if draws is not None:
-            sphere_dir, ball_dir, coin = (
-                draws["sphere"], draws["ball"], draws["coin"]
-            )
+            # hoisted uniforms; trig transforms stay in-body (see
+            # _precompute_draws for the bitwise-stability contract)
+            sphere_dir = sampling.on_unit_sphere_from_u(draws["sphere_u"])
+            ball_dir = sampling.in_unit_sphere_from_u(draws["ball_u"])
+            coin = draws["coin"]
         else:
             sphere_dir = sg(sampling.on_unit_sphere(
                 sampling.bounce_keys(lane_keys, bounce, sampling.P_LAMBERT)))
@@ -546,10 +557,11 @@ def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
 
     sg = jax.lax.stop_gradient  # detached sampling: draws carry no grads
     if draws is not None:
-        # precomputed (see _precompute_draws): bitwise the values below
-        sphere_dir, ball_dir, coin = (
-            draws["sphere"], draws["ball"], draws["coin"]
-        )
+        # hoisted uniforms, in-body transforms: bitwise the values
+        # below (see _precompute_draws for why the split matters)
+        sphere_dir = sampling.on_unit_sphere_from_u(draws["sphere_u"])
+        ball_dir = sampling.in_unit_sphere_from_u(draws["ball_u"])
+        coin = draws["coin"]
     else:
         sphere_dir = sg(sampling.on_unit_sphere(
             sampling.bounce_keys(lane_keys, bounce, sampling.P_LAMBERT)
@@ -887,7 +899,8 @@ def trace(
         # batched draw transform differently), like every other
         # compilation-variant knob (DESIGN.md §10 remat note).
         draws_all = None
-        if os.environ.get("RPT_RNG_XS", "1") == "1" and not reorder:
+        if (os.environ.get("RPT_RNG_XS", "1") == "1" and not reorder
+                and max_bounces > 1):  # B==1: see trace_resume
             draws_all = _precompute_draws(lane_keys, max_bounces, rr_start)
 
         def cond(carry):
@@ -957,9 +970,14 @@ def trace_resume(scene, o, d, thr, rad, alive, lane_keys, background,
     # same RNG hoist as trace()'s nondiff loop, sliced to this stage's
     # bounce range (the cascade re-derives per stage at the compacted
     # width, so the precompute shrinks with the wavefront)
+    # B == 1 stages skip the hoist: XLA constant-folds the single-
+    # bounce dynamic index into the body, fusing the uniform transform
+    # differently than every B > 1 body (ulp drift in the trig) —
+    # which broke cascade == plain for boundary-at-1 schedules; an
+    # in-body draw for one bounce costs the same anyway.
     draws_all = None
     if (os.environ.get("RPT_RNG_XS", "1") == "1"
-            and start_bounce < max_bounces):
+            and max_bounces - start_bounce > 1):
         draws_all = _precompute_draws(
             lane_keys, max_bounces, rr_start, start_bounce=start_bounce
         )

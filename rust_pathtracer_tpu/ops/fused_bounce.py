@@ -141,6 +141,11 @@ FLG_COS_CLAMP = 512   # dielectric cos_t hit the min(.,1) clamp
 FLG_REFR_ZERO = 1024  # refract safe_sqrt at <= 0 (zero gradient)
 FLG_L_NEG = 2048      # refract 1-|perp|^2 < 0 (abs() flips the sign)
 FLG_IS_CK = 4096      # winning prim's texture is a checker
+FLG_ALIVE = 8192      # lane was alive ENTERING the bounce
+# bits 16+ carry the winning primitive index (max(best_i, 0) << 16):
+# the backward's one-hot contraction masks by FLG_HIT, so the -1 miss
+# sentinel never needs distinguishing from prim 0
+FLG_BESTI_SHIFT = 16
 
 
 def _kernel(kinds, mat_types, tex_types, t_min, want_residuals,
@@ -169,6 +174,10 @@ def _kernel(kinds, mat_types, tex_types, t_min, want_residuals,
     wnx = jnp.zeros(shape, jnp.float32)
     wny = jnp.zeros(shape, jnp.float32)
     wnz = jnp.zeros(shape, jnp.float32)
+    # winning sphere's 1/r (0 for rect/tri winners): the backward's
+    # sphere-normal chain dn/dpoint = flip/r needs it, and saving it
+    # here is free vs a per-lane kind/radius table resolve in the VJP
+    w_invr = jnp.zeros(shape, jnp.float32)
     acc_rows = (PAY_MKIND, PAY_FUZZ, PAY_IR, PAY_TKIND, PAY_TSCALE,
                 PAY_COLOR, PAY_COLOR + 1, PAY_COLOR + 2,
                 PAY_ODD, PAY_ODD + 1, PAY_ODD + 2,
@@ -240,6 +249,10 @@ def _kernel(kinds, mat_types, tex_types, t_min, want_residuals,
         wnx = jnp.where(upd, nx, wnx)
         wny = jnp.where(upd, ny, wny)
         wnz = jnp.where(upd, nz, wnz)
+        if kind == PRIM_SPHERE:
+            w_invr = jnp.where(upd, inv_r, w_invr)
+        else:
+            w_invr = jnp.where(upd, 0.0, w_invr)
         shade = [jnp.where(upd, s(row), acc)
                  for row, acc in zip(acc_rows, shade)]
 
@@ -410,8 +423,9 @@ def _kernel(kinds, mat_types, tex_types, t_min, want_residuals,
         # what the hand-written VJP (fused_bounce_vjp) consumes — see
         # _bounce_bwd for the exact formulas each field feeds
         (t_ref, rnx_ref, rny_ref, rnz_ref, rv0_ref, rv1_ref, rv2_ref,
-         rratio_ref, rflags_ref, rbesti_ref) = res_refs
-        flags = flags + flag(cont, FLG_CONT)
+         rratio_ref, rinvr_ref, rflags_ref) = res_refs
+        flags = (flags + flag(cont, FLG_CONT) + flag(alive, FLG_ALIVE)
+                 + (jnp.maximum(best_i, 0) << FLG_BESTI_SHIFT))
         t_ref[:] = t
         rnx_ref[:] = nx
         rny_ref[:] = ny
@@ -420,8 +434,8 @@ def _kernel(kinds, mat_types, tex_types, t_min, want_residuals,
         rv1_ref[:] = v1
         rv2_ref[:] = v2
         rratio_ref[:] = ratio
+        rinvr_ref[:] = flip * w_invr
         rflags_ref[:] = flags
-        rbesti_ref[:] = best_i
 
 
 @functools.partial(jax.jit, static_argnames=("kinds", "mat_types",
@@ -463,7 +477,7 @@ def _fused_bounce(packed, bg, seed, o, d, thr, rad, alive,
     n_out = 13 + (10 if want_residuals else 0)
     out_shape = (f32,) * 13
     if want_residuals:
-        out_shape = out_shape + (f32,) * 8 + (i32, i32)
+        out_shape = out_shape + (f32,) * 9 + (i32,)
     outs = pl.pallas_call(
         functools.partial(_kernel, kinds, mat_types, tex_types, t_min,
                           want_residuals),
@@ -482,8 +496,9 @@ def _fused_bounce(packed, bg, seed, o, d, thr, rad, alive,
     def unplane(x):
         return x.reshape(-1)[:R]
 
-    outs = [unplane(x) for x in outs]
-    (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, al) = outs[:13]
+    (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, al) = [
+        unplane(x) for x in outs[:13]
+    ]
     state_out = (
         jnp.stack([ox, oy, oz], 1),
         jnp.stack([dx, dy, dz], 1),
@@ -493,15 +508,10 @@ def _fused_bounce(packed, bg, seed, o, d, thr, rad, alive,
     )
     if not want_residuals:
         return state_out
-    (t, nx, ny, nz, v0, v1, v2, ratio, flags, best_i) = outs[13:]
-    res = dict(
-        t=t,
-        n=jnp.stack([nx, ny, nz], 1),
-        val=jnp.stack([v0, v1, v2], 1),
-        ratio=ratio,
-        flags=flags,
-        best_i=best_i,
-    )
+    # residuals stay PLANED (rows, 128): the Pallas backward consumes
+    # them block-for-block with zero relayout; lanes >= R are dead
+    # (alive padded 0 -> no CONT/HIT flag -> zero grads)
+    res = dict(zip(_RES_KEYS, outs[13:]))
     return state_out, res
 
 
@@ -524,6 +534,153 @@ def fused_bounce_apply(scene, o, d, thr, rad, alive, sphere_dir,
         interpret=interpret,
     )
     return o2, d2, t2, r2, al2
+
+
+def _bwd_kernel(mat_types, bg_ref,
+                t_ref, nx_ref, ny_ref, nz_ref, v0_ref, v1_ref, v2_ref,
+                ratio_ref, invr_ref, flags_ref,
+                dx_ref, dy_ref, dz_ref,
+                gox_ref, goy_ref, goz_ref, gdx_ref, gdy_ref, gdz_ref,
+                gtx_ref, gty_ref, gtz_ref, grx_ref, gry_ref, grz_ref,
+                ox_o, oy_o, oz_o, dx_o, dy_o, dz_o, tx_o, ty_o, tz_o):
+    """Transposed-shading kernel: every per-lane elementwise chain of
+    the closed-form VJP (_make_fused_bounce_vjp docs) in ONE pallas
+    block — residuals + cotangents in, (g_o, g_d, g_thr) out, zero
+    HBM materialization of the ~40 (R,3) intermediates XLA would
+    otherwise stream per bounce."""
+    flags = flags_ref[:]
+
+    def bit(b):
+        return (flags & b) != 0
+
+    hit = bit(FLG_HIT)
+    cont = bit(FLG_CONT)
+    reflect = bit(FLG_REFLECT)
+    sel_l = bit(FLG_SEL_L) & cont
+    sel_m = bit(FLG_SEL_M) & cont
+    sel_d = bit(FLG_SEL_D) & cont
+    light_on = bit(FLG_LIGHT_ON)
+    cos_clamp = bit(FLG_COS_CLAMP)
+    refr_zero = bit(FLG_REFR_ZERO)
+    l_neg = bit(FLG_L_NEG)
+    miss = bit(FLG_ALIVE) & jnp.logical_not(hit)
+
+    def mz(mask, x):
+        return jnp.where(mask, x, 0.0)
+
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    nx, ny, nz = nx_ref[:], ny_ref[:], nz_ref[:]
+    gox2, goy2, goz2 = gox_ref[:], goy_ref[:], goz_ref[:]
+    gdx2, gdy2, gdz2 = gdx_ref[:], gdy_ref[:], gdz_ref[:]
+    gtx2, gty2, gtz2 = gtx_ref[:], gty_ref[:], gtz_ref[:]
+    grx2, gry2, grz2 = grx_ref[:], gry_ref[:], grz_ref[:]
+
+    a = dx * dx + dy * dy + dz * dz
+    inv_sa = jax.lax.rsqrt(jnp.maximum(a, _SAFE_EPS))
+    ux, uy, uz = dx * inv_sa, dy * inv_sa, dz * inv_sa
+    rr = ratio_ref[:]
+
+    # ---- scatter direction chains: g_dir -> (g_u, g_n) --------------
+    g_dirx = mz(cont, gdx2)
+    g_diry = mz(cont, gdy2)
+    g_dirz = mz(cont, gdz2)
+    g_nx = mz(sel_l, g_dirx)
+    g_ny = mz(sel_l, g_diry)
+    g_nz = mz(sel_l, g_dirz)
+    g_ux = jnp.zeros_like(dx)
+    g_uy = jnp.zeros_like(dx)
+    g_uz = jnp.zeros_like(dx)
+
+    refl_m = sel_m | (sel_d & reflect)
+    if (MAT_METAL in mat_types) or (MAT_DIELECTRIC in mat_types):
+        s = ux * nx + uy * ny + uz * nz
+        grx = mz(refl_m, g_dirx)
+        gry = mz(refl_m, g_diry)
+        grz = mz(refl_m, g_dirz)
+        ngr = nx * grx + ny * gry + nz * grz
+        g_ux = g_ux + grx - 2.0 * nx * ngr
+        g_uy = g_uy + gry - 2.0 * ny * ngr
+        g_uz = g_uz + grz - 2.0 * nz * ngr
+        g_nx = g_nx - 2.0 * (ux * ngr + s * grx)
+        g_ny = g_ny - 2.0 * (uy * ngr + s * gry)
+        g_nz = g_nz - 2.0 * (uz * ngr + s * grz)
+
+    if MAT_DIELECTRIC in mat_types:
+        rm = sel_d & jnp.logical_not(reflect)
+        goutx = mz(rm, g_dirx)
+        gouty = mz(rm, g_diry)
+        goutz = mz(rm, g_dirz)
+        raw_cos = -(ux * nx + uy * ny + uz * nz)
+        cos = jnp.minimum(raw_cos, 1.0)
+        perpx = rr * (ux + cos * nx)
+        perpy = rr * (uy + cos * ny)
+        perpz = rr * (uz + cos * nz)
+        pp = perpx * perpx + perpy * perpy + perpz * perpz
+        abs_l = jnp.abs(1.0 - pp)
+        s_par = jnp.where(refr_zero, 0.0, jnp.sqrt(abs_l))
+        g_spar = -(nx * goutx + ny * gouty + nz * goutz)
+        g_nx = g_nx - s_par * goutx
+        g_ny = g_ny - s_par * gouty
+        g_nz = g_nz - s_par * goutz
+        g_absl = jnp.where(
+            refr_zero, 0.0, g_spar / jnp.maximum(2.0 * s_par, 1e-30)
+        )
+        sg = jnp.where(l_neg, -g_absl, g_absl)
+        g_perpx = goutx - 2.0 * perpx * sg
+        g_perpy = gouty - 2.0 * perpy * sg
+        g_perpz = goutz - 2.0 * perpz * sg
+        g_ux = g_ux + rr * g_perpx
+        g_uy = g_uy + rr * g_perpy
+        g_uz = g_uz + rr * g_perpz
+        g_nx = g_nx + rr * cos * g_perpx
+        g_ny = g_ny + rr * cos * g_perpy
+        g_nz = g_nz + rr * cos * g_perpz
+        g_cos = jnp.where(
+            cos_clamp, 0.0,
+            rr * (nx * g_perpx + ny * g_perpy + nz * g_perpz),
+        )
+        g_ux = g_ux - nx * g_cos
+        g_uy = g_uy - ny * g_cos
+        g_uz = g_uz - nz * g_cos
+        g_nx = g_nx - ux * g_cos
+        g_ny = g_ny - uy * g_cos
+        g_nz = g_nz - uz * g_cos
+
+    # ---- u = d/|d| -> d ----------------------------------------------
+    udg = ux * g_ux + uy * g_uy + uz * g_uz
+    g_dx = mz(jnp.logical_not(cont), gdx2) + (g_ux - ux * udg) * inv_sa
+    g_dy = mz(jnp.logical_not(cont), gdy2) + (g_uy - uy * udg) * inv_sa
+    g_dz = mz(jnp.logical_not(cont), gdz2) + (g_uz - uz * udg) * inv_sa
+
+    # ---- throughput (attenuation + miss background + light emission) -
+    v0, v1, v2 = v0_ref[:], v1_ref[:], v2_ref[:]
+    lm = sel_l | sel_m
+    bg0, bg1, bg2 = bg_ref[0, 0], bg_ref[0, 1], bg_ref[0, 2]
+    tx_o[:] = (jnp.where(cont, jnp.where(lm, v0, 1.0) * gtx2, gtx2)
+               + mz(miss, bg0 * grx2) + mz(light_on, v0 * grx2))
+    ty_o[:] = (jnp.where(cont, jnp.where(lm, v1, 1.0) * gty2, gty2)
+               + mz(miss, bg1 * gry2) + mz(light_on, v1 * gry2))
+    tz_o[:] = (jnp.where(cont, jnp.where(lm, v2, 1.0) * gtz2, gtz2)
+               + mz(miss, bg2 * grz2) + mz(light_on, v2 * grz2))
+
+    # ---- normal -> hit point (sphere dn/dp = flip/r, 0 otherwise) ----
+    invr = invr_ref[:]
+    g_px = mz(cont, gox2) + invr * g_nx
+    g_py = mz(cont, goy2) + invr * g_ny
+    g_pz = mz(cont, goz2) + invr * g_nz
+
+    # ---- point = o + t(o,d) d; analytic-t chain ----------------------
+    t = t_ref[:]
+    g_t = dx * g_px + dy * g_py + dz * g_pz
+    den = nx * dx + ny * dy + nz * dz
+    den = jnp.where(jnp.abs(den) < 1e-30, 1.0, den)
+    q = g_t / den
+    ox_o[:] = mz(jnp.logical_not(cont), gox2) + g_px - q * nx
+    oy_o[:] = mz(jnp.logical_not(cont), goy2) + g_py - q * ny
+    oz_o[:] = mz(jnp.logical_not(cont), goz2) + g_pz - q * nz
+    dx_o[:] = g_dx + t * g_px - q * t * nx
+    dy_o[:] = g_dy + t * g_py - q * t * ny
+    dz_o[:] = g_dz + t * g_pz - q * t * nz
 
 
 # ---------------------------------------------------------------------------
@@ -596,10 +753,10 @@ def _make_fused_bounce_vjp(kinds, mat_types, tex_types, t_min, interpret):
     def fwd(o, d, thr, rad, alive_f, sph, ball, coin, packed, bg):
         out, res = run(o, d, thr, rad, alive_f, sph, ball, coin, packed,
                        bg, True)
-        return out, (d, thr, alive_f, bg, res, packed)
+        return out, (d, thr, bg, res, packed)
 
     def bwd(saved, cots):
-        d, thr, alive_f, bg, res, packed = saved
+        d, thr, bg, res, packed = saved
         g_o2, g_d2, g_thr2, g_rad2, _g_alive = cots
 
         # RPT_FBD_PROBE (perf decomposition only — WRONG GRADIENTS):
@@ -607,131 +764,56 @@ def _make_fused_bounce_vjp(kinds, mat_types, tex_types, t_min, interpret):
         # scan transpose machinery); "notex" skips the packed-color
         # one-hot contraction (isolates its cost).
         probe = os.environ.get("RPT_FBD_PROBE", "")
+        zr = jnp.zeros(d.shape[:1], d.dtype)
         if probe == "zero":
             z3 = jnp.zeros_like(d)
-            return (z3, z3, z3, z3, jnp.zeros_like(alive_f), z3, z3,
-                    jnp.zeros_like(res["t"]), jnp.zeros_like(packed),
-                    jnp.zeros_like(bg))
+            return (z3, z3, z3, z3, zr, z3, z3, zr,
+                    jnp.zeros_like(packed), jnp.zeros_like(bg))
 
-        t = res["t"]
-        n = res["n"]          # flipped unit shading normal (0 on miss)
-        val = res["val"]
-        ratio = res["ratio"]
-        flags = res["flags"]
-        best_i = res["best_i"]
+        R = d.shape[0]
 
-        hit = _bit(flags, FLG_HIT)
-        front = _bit(flags, FLG_FRONT)
-        cont = _bit(flags, FLG_CONT)
-        choose_reflect = _bit(flags, FLG_REFLECT)
-        sines_neg = _bit(flags, FLG_SINES_NEG)
-        sel_l = _bit(flags, FLG_SEL_L) & cont
-        sel_m = _bit(flags, FLG_SEL_M) & cont
-        sel_d = _bit(flags, FLG_SEL_D) & cont
-        light_on = _bit(flags, FLG_LIGHT_ON)
-        cos_clamp = _bit(flags, FLG_COS_CLAMP)
-        refr_zero = _bit(flags, FLG_REFR_ZERO)
-        l_neg = _bit(flags, FLG_L_NEG)
-        is_ck = _bit(flags, FLG_IS_CK)
-        alive = alive_f > 0.5
-        miss = alive & ~hit
+        def unplane(x):
+            return x.reshape(-1)[:R]
+
+        flags_l = unplane(res["flags"])
+        best_i = flags_l >> FLG_BESTI_SHIFT
+        hit = _bit(flags_l, FLG_HIT)
+        cont = _bit(flags_l, FLG_CONT)
+        sines_neg = _bit(flags_l, FLG_SINES_NEG)
+        sel_l = _bit(flags_l, FLG_SEL_L) & cont
+        sel_m = _bit(flags_l, FLG_SEL_M) & cont
+        light_on = _bit(flags_l, FLG_LIGHT_ON)
+        is_ck = _bit(flags_l, FLG_IS_CK)
+        miss = _bit(flags_l, FLG_ALIVE) & ~hit
 
         def m(mask):
             return mask[:, None].astype(jnp.float32)
 
-        def dot(a, b):
-            return jnp.sum(a * b, axis=-1, keepdims=True)
-
-        a = jnp.sum(d * d, axis=-1, keepdims=True)
-        sa = jnp.sqrt(jnp.maximum(a, _SAFE_EPS))
-        u = d / sa
-        rr = ratio[:, None]
-
-        # ---- scatter direction chains: g_dir -> (g_u, g_n) ----------
-        g_dir = m(cont) * g_d2
-        g_n = m(sel_l) * g_dir  # lambertian: dir = n + sph (or n)
-        g_u = jnp.zeros_like(d)
-
-        refl_m = sel_m | (sel_d & choose_reflect)
-        if (MAT_METAL in mat_types) or (MAT_DIELECTRIC in mat_types):
-            s = dot(u, n)
-            gr = m(refl_m) * g_dir
-            ngr = dot(n, gr)
-            g_u = g_u + gr - 2.0 * n * ngr
-            g_n = g_n - 2.0 * (u * ngr + s * gr)
-
-        if MAT_DIELECTRIC in mat_types:
-            rm = sel_d & ~choose_reflect
-            gout = m(rm) * g_dir
-            raw_cos = -dot(u, n)
-            cos = jnp.minimum(raw_cos, 1.0)
-            perp = rr * (u + cos * n)
-            abs_l = jnp.abs(1.0 - jnp.sum(perp * perp, -1, keepdims=True))
-            s_par = jnp.where(refr_zero[:, None], 0.0, jnp.sqrt(abs_l))
-            g_spar = -dot(n, gout)
-            g_n = g_n - s_par * gout
-            g_absl = jnp.where(
-                refr_zero[:, None], 0.0,
-                g_spar / jnp.maximum(2.0 * s_par, 1e-30),
+        if os.environ.get("RPT_FBD_BWD", "pallas") == "pallas":
+            g_o, g_d, g_thr = _bwd_call(
+                res, d, bg, g_o2, g_d2, g_thr2, g_rad2,
+                mat_types=mat_types, interpret=interpret,
             )
-            sign = jnp.where(l_neg[:, None], -1.0, 1.0)
-            g_perp = gout - 2.0 * perp * (sign * g_absl)
-            g_u = g_u + rr * g_perp
-            g_n = g_n + rr * cos * g_perp
-            g_cos = jnp.where(
-                cos_clamp[:, None], 0.0, rr * dot(n, g_perp)
+        else:
+            g_o, g_d, g_thr = _bwd_xla(
+                res, d, bg, g_o2, g_d2, g_thr2, g_rad2, mat_types,
             )
-            g_u = g_u - n * g_cos
-            g_n = g_n - u * g_cos
 
-        # ---- u = d/|d| -> d ------------------------------------------
-        g_d = m(~cont) * g_d2 + (g_u - u * dot(u, g_u)) / sa
-
-        # ---- throughput / radiance / background ----------------------
-        att = jnp.where(m(sel_l | sel_m), val, 1.0)
-        g_thr = (
-            jnp.where(m(cont), att * g_thr2, g_thr2)
-            + m(miss) * bg[None, :] * g_rad2
-            + m(light_on) * val * g_rad2
-        )
+        # ---- small reductions stay in XLA (fuse with the einsum) -----
+        g_rad = g_rad2
+        g_bg = jnp.sum(m(miss) * thr * g_rad2, axis=0)
         g_val = (
             m(sel_l | sel_m) * thr * g_thr2 + m(light_on) * thr * g_rad2
         )
-        g_rad = g_rad2
-        g_bg = jnp.sum(m(miss) * thr * g_rad2, axis=0)
-
-        # ---- normal -> hit point (sphere shading normal) -------------
-        # ONE one-hot materialization for all per-prim routing (kind,
-        # radius, and the three color-row targets below)
-        onehot = (
-            (best_i[:, None] == jnp.arange(P, dtype=jnp.int32)[None, :])
-            & hit[:, None]
-        ).astype(jnp.float32)
-        hp = jax.lax.Precision.HIGHEST
-        small = jnp.stack([packed[12], packed[3]], axis=1)  # (P, 2)
-        kr = jnp.matmul(onehot, small, precision=hp)
-        kind_l, r_l = kr[:, 0], kr[:, 1]
-        is_sph = hit & (
-            jnp.round(kind_l).astype(jnp.int32) == PRIM_SPHERE
-        )
-        flip = jnp.where(front, 1.0, -1.0)
-        inv_r = flip / jnp.where(is_sph, jnp.where(r_l == 0.0, 1.0, r_l),
-                                 1.0)
-        g_point = m(cont) * g_o2 + m(is_sph) * inv_r[:, None] * g_n
-
-        # ---- point = o + t(o,d) d; analytic-t chain -------------------
-        g_t = dot(d, g_point)
-        g_o = m(~cont) * g_o2 + g_point
-        g_d = g_d + t[:, None] * g_point
-        den = dot(n, d)
-        den = jnp.where(jnp.abs(den) < 1e-30, 1.0, den)
-        g_o = g_o + g_t * (-n / den)
-        g_d = g_d + g_t * (-t[:, None] * n / den)
 
         # ---- packed color rows (ONE one-hot MXU contraction) ----------
         # HIGHEST precision like ops/table.lookup: the one-hot operand
         # is exact, but the default TPU matmul precision would truncate
         # g_val to bf16
+        onehot = (
+            (best_i[:, None] == jnp.arange(P, dtype=jnp.int32)[None, :])
+            & hit[:, None]
+        ).astype(jnp.float32)
         targets = (
             (PAY_COLOR, hit & ~is_ck),
             (PAY_ODD, is_ck & sines_neg),
@@ -753,8 +835,8 @@ def _make_fused_bounce_vjp(kinds, mat_types, tex_types, t_min, interpret):
                 )
 
         zeros3 = jnp.zeros_like(d)
-        return (g_o, g_d, g_thr, g_rad, jnp.zeros_like(alive_f),
-                zeros3, zeros3, jnp.zeros_like(t), gp, g_bg)
+        return (g_o, g_d, g_thr, g_rad, zr, zeros3, zeros3, zr, gp,
+                g_bg)
 
     bounce.defvjp(fwd, bwd)
     return bounce
@@ -762,6 +844,145 @@ def _make_fused_bounce_vjp(kinds, mat_types, tex_types, t_min, interpret):
 
 def _bit(flags, b):
     return (flags & b) != 0
+
+
+_RES_KEYS = ("t", "nx", "ny", "nz", "v0", "v1", "v2", "ratio", "invr",
+             "flags")
+
+
+@functools.partial(jax.jit, static_argnames=("mat_types", "interpret"))
+def _bwd_call(res, d, bg, g_o2, g_d2, g_thr2, g_rad2, *,
+              mat_types, interpret=False):
+    """Dispatch the transposed-shading Pallas kernel: planed residuals
+    + cotangents in, (g_o, g_d, g_thr) out."""
+    rows = res["t"].shape[0]
+    R = d.shape[0]
+    pad = rows * 128 - R
+
+    def plane(x):
+        return jnp.pad(x, (0, pad)).reshape(rows, 128)
+
+    ins = [res[k] for k in _RES_KEYS]
+    for v in (d, g_o2, g_d2, g_thr2, g_rad2):
+        ins.extend(plane(v[:, j]) for j in range(3))
+    grid = (rows // BLOCK_ROWS,)
+    ray_spec = pl.BlockSpec(
+        (BLOCK_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    vma = jax.typeof(d).vma
+    f32 = jax.ShapeDtypeStruct((rows, 128), jnp.float32, vma=vma)
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, mat_types),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ] + [ray_spec] * 25,
+        out_specs=(ray_spec,) * 9,
+        out_shape=(f32,) * 9,
+        interpret=interpret,
+    )(bg.reshape(1, 3), *ins)
+
+    def unplane(x):
+        return x.reshape(-1)[:R]
+
+    o = [unplane(x) for x in outs]
+    return (jnp.stack(o[0:3], 1), jnp.stack(o[3:6], 1),
+            jnp.stack(o[6:9], 1))
+
+
+def _bwd_xla(res, d, bg, g_o2, g_d2, g_thr2, g_rad2, mat_types):
+    """XLA variant of the per-lane backward chains (RPT_FBD_BWD=xla):
+    the same closed-form math as _bwd_kernel, left to XLA's fuser —
+    kept for A/B and as the interpreter-free fallback."""
+    R = d.shape[0]
+
+    def up(x):
+        return x.reshape(-1)[:R]
+
+    t = up(res["t"])
+    n = jnp.stack([up(res["nx"]), up(res["ny"]), up(res["nz"])], 1)
+    val = jnp.stack([up(res["v0"]), up(res["v1"]), up(res["v2"])], 1)
+    ratio = up(res["ratio"])
+    invr = up(res["invr"])
+    flags = up(res["flags"])
+
+    hit = _bit(flags, FLG_HIT)
+    cont = _bit(flags, FLG_CONT)
+    choose_reflect = _bit(flags, FLG_REFLECT)
+    sel_l = _bit(flags, FLG_SEL_L) & cont
+    sel_m = _bit(flags, FLG_SEL_M) & cont
+    sel_d = _bit(flags, FLG_SEL_D) & cont
+    light_on = _bit(flags, FLG_LIGHT_ON)
+    cos_clamp = _bit(flags, FLG_COS_CLAMP)
+    refr_zero = _bit(flags, FLG_REFR_ZERO)
+    l_neg = _bit(flags, FLG_L_NEG)
+    miss = _bit(flags, FLG_ALIVE) & ~hit
+
+    def m(mask):
+        return mask[:, None].astype(jnp.float32)
+
+    def dot(a, b):
+        return jnp.sum(a * b, axis=-1, keepdims=True)
+
+    a = jnp.sum(d * d, axis=-1, keepdims=True)
+    sa = jnp.sqrt(jnp.maximum(a, _SAFE_EPS))
+    u = d / sa
+    rr = ratio[:, None]
+
+    g_dir = m(cont) * g_d2
+    g_n = m(sel_l) * g_dir  # lambertian: dir = n + sph (or n)
+    g_u = jnp.zeros_like(d)
+
+    refl_m = sel_m | (sel_d & choose_reflect)
+    if (MAT_METAL in mat_types) or (MAT_DIELECTRIC in mat_types):
+        s = dot(u, n)
+        gr = m(refl_m) * g_dir
+        ngr = dot(n, gr)
+        g_u = g_u + gr - 2.0 * n * ngr
+        g_n = g_n - 2.0 * (u * ngr + s * gr)
+
+    if MAT_DIELECTRIC in mat_types:
+        rm = sel_d & ~choose_reflect
+        gout = m(rm) * g_dir
+        raw_cos = -dot(u, n)
+        cos = jnp.minimum(raw_cos, 1.0)
+        perp = rr * (u + cos * n)
+        abs_l = jnp.abs(1.0 - jnp.sum(perp * perp, -1, keepdims=True))
+        s_par = jnp.where(refr_zero[:, None], 0.0, jnp.sqrt(abs_l))
+        g_spar = -dot(n, gout)
+        g_n = g_n - s_par * gout
+        g_absl = jnp.where(
+            refr_zero[:, None], 0.0,
+            g_spar / jnp.maximum(2.0 * s_par, 1e-30),
+        )
+        sign = jnp.where(l_neg[:, None], -1.0, 1.0)
+        g_perp = gout - 2.0 * perp * (sign * g_absl)
+        g_u = g_u + rr * g_perp
+        g_n = g_n + rr * cos * g_perp
+        g_cos = jnp.where(
+            cos_clamp[:, None], 0.0, rr * dot(n, g_perp)
+        )
+        g_u = g_u - n * g_cos
+        g_n = g_n - u * g_cos
+
+    g_d = m(~cont) * g_d2 + (g_u - u * dot(u, g_u)) / sa
+
+    att = jnp.where(m(sel_l | sel_m), val, 1.0)
+    g_thr = (
+        jnp.where(m(cont), att * g_thr2, g_thr2)
+        + m(miss) * bg[None, :] * g_rad2
+        + m(light_on) * val * g_rad2
+    )
+
+    g_point = m(cont) * g_o2 + invr[:, None] * g_n
+    g_t = dot(d, g_point)
+    g_o = m(~cont) * g_o2 + g_point
+    g_d = g_d + t[:, None] * g_point
+    den = dot(n, d)
+    den = jnp.where(jnp.abs(den) < 1e-30, 1.0, den)
+    g_o = g_o + g_t * (-n / den)
+    g_d = g_d + g_t * (-t[:, None] * n / den)
+    return g_o, g_d, g_thr
 
 
 def fused_bounce_diff_apply(scene, o, d, thr, rad, alive, sphere_dir,

@@ -62,6 +62,26 @@ def uniform2(keys):
     return _uniforms(keys, 2)
 
 
+def uniform3(keys):
+    """Three U[0,1) per lane, shape (R, 3)."""
+    return _uniforms(keys, 3)
+
+
+def on_unit_sphere_from_u(u):
+    """on_unit_sphere's trig transform from (R, 2) uniforms.
+
+    Split out so the RNG-hoist path (integrator._precompute_draws) can
+    precompute only the bit-exact uniforms and leave the trig in the
+    loop body: transcendentals are the one shape-sensitive piece (XLA
+    vectorizes them differently per batch shape, ulp-level), so they
+    must run at the SAME shape in every path that claims bitwise
+    estimator identity (cascade == plain)."""
+    z = 2.0 * u[..., 0] - 1.0
+    phi = (2.0 * jnp.pi) * u[..., 1]
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+
+
 def on_unit_sphere(keys):
     """Uniform direction on S^2, shape (R, 3).
 
@@ -69,11 +89,17 @@ def on_unit_sphere(keys):
     (``random_on_unitsphere`` vec3.rs:51-53), computed analytically:
     z = 2u-1, phi = 2*pi*v, r = sqrt(1-z^2).
     """
-    u = _uniforms(keys, 2)
+    return on_unit_sphere_from_u(_uniforms(keys, 2))
+
+
+def in_unit_sphere_from_u(u):
+    """in_unit_sphere's transform from (R, 3) uniforms (see
+    on_unit_sphere_from_u for why this is split)."""
     z = 2.0 * u[..., 0] - 1.0
     phi = (2.0 * jnp.pi) * u[..., 1]
-    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
-    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+    rho = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    d = jnp.stack([rho * jnp.cos(phi), rho * jnp.sin(phi), z], axis=-1)
+    return d * jnp.cbrt(u[..., 2])[..., None]
 
 
 def in_unit_sphere(keys):
@@ -82,12 +108,7 @@ def in_unit_sphere(keys):
     Same distribution as rejection sampling (vec3.rs:41-49): uniform
     direction scaled by U^(1/3).
     """
-    u = _uniforms(keys, 3)
-    z = 2.0 * u[..., 0] - 1.0
-    phi = (2.0 * jnp.pi) * u[..., 1]
-    rho = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
-    d = jnp.stack([rho * jnp.cos(phi), rho * jnp.sin(phi), z], axis=-1)
-    return d * jnp.cbrt(u[..., 2])[..., None]
+    return in_unit_sphere_from_u(_uniforms(keys, 3))
 
 
 def in_unit_disk_xy(keys):
