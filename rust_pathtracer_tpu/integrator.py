@@ -481,21 +481,22 @@ def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
     if use_fb or use_fbd:
         sg = jax.lax.stop_gradient
         if draws is not None:
-            # hoisted uniforms; trig transforms stay in-body (see
-            # _precompute_draws for the bitwise-stability contract)
-            sphere_dir = sampling.on_unit_sphere_from_u(draws["sphere_u"])
-            ball_dir = sampling.in_unit_sphere_from_u(draws["ball_u"])
-            coin = draws["coin"]
+            # hoisted uniforms go straight into the kernel — the
+            # on/in-unit-sphere transforms run IN-KERNEL (see _kernel:
+            # bitwise stable at every width by construction)
+            sphere_u, ball_u, coin = (
+                draws["sphere_u"], draws["ball_u"], draws["coin"]
+            )
         else:
-            sphere_dir = sg(sampling.on_unit_sphere(
+            sphere_u = sg(sampling.uniform2(
                 sampling.bounce_keys(lane_keys, bounce, sampling.P_LAMBERT)))
-            ball_dir = sg(sampling.in_unit_sphere(
+            ball_u = sg(sampling.uniform3(
                 sampling.bounce_keys(lane_keys, bounce, sampling.P_FUZZ)))
             coin = sg(sampling.uniform(
                 sampling.bounce_keys(lane_keys, bounce, sampling.P_SCHLICK)))
         apply_fn = fused_bounce_diff_apply if use_fbd else fused_bounce_apply
         o, d, thr, rad, alive = apply_fn(
-            scene, o, d, thr, rad, alive, sphere_dir, ball_dir, coin,
+            scene, o, d, thr, rad, alive, sphere_u, ball_u, coin,
             background, T_MIN, interpret=not pallas_available(),
         )
 
@@ -718,6 +719,174 @@ def _trace_diff_cascade(init, lane_keys, make_step, stages, max_bounces):
     return dict(rad=banked, segments=segments, occupancy=occupancy)
 
 
+def _fused_cols_eligible(scene, differentiable, reorder, remat,
+                         max_bounces, lanes):
+    """Route to the column-native fused scan (_trace_fused_cols)?
+
+    Only for fused-bounce-eligible scenes on the plain (non-reorder,
+    non-cascade, remat="none") paths — everything else keeps the
+    generic state-dict loops."""
+    import os
+
+    if reorder:
+        return False
+    from rust_pathtracer_tpu.ops.fused_bounce import (
+        fused_bounce_diff_ok,
+        fused_bounce_interpret,
+        fused_bounce_ok,
+    )
+    from rust_pathtracer_tpu.ops.pallas_intersect import pallas_available
+
+    if not (pallas_available() or fused_bounce_interpret()):
+        return False
+    if not differentiable:
+        return fused_bounce_ok(scene)
+    if not fused_bounce_diff_ok(scene):
+        return False
+    mode = remat or os.environ.get("RPT_REMAT", "auto")
+    if mode == "auto":
+        mode = "none" if lanes * max_bounces <= 24_000_000 else "mid"
+    return mode == "none" and not _diff_cascade_stages(max_bounces, lanes)
+
+
+def _trace_fused_cols(scene, origins, directions, lane_keys, background,
+                      max_bounces, rr_start, differentiable):
+    """Column-native trace for fused-bounce scenes.
+
+    The scan/while_loop carry holds the wavefront as 13 SEPARATE (R,)
+    columns instead of (R, 3) AoS arrays: every reshape to the
+    kernel's (rows, 128) layout is then contiguous (free), where the
+    AoS carry paid ~26 strided column-extract/stack copies per bounce
+    in the forward AND the transposed sweep.  Estimator-identical to
+    the _bounce_step fused branch op-for-op (same kernel, same draw
+    uniforms, same roulette formulas), so cascade == plain invariants
+    hold bitwise across the two drivers."""
+    import os
+
+    from rust_pathtracer_tpu.ops.fused_bounce import (
+        _COL_KEYS,
+        fused_bounce_cols_step,
+    )
+    from rust_pathtracer_tpu.ops.pallas_intersect import pallas_available
+
+    interp = not pallas_available()
+    sg = jax.lax.stop_gradient
+    zeros = origins[:, 0] * 0.0
+    ones = zeros + 1.0
+    zero_scalar = jnp.sum(zeros)
+    cols = dict(zip(_COL_KEYS, (
+        origins[:, 0], origins[:, 1], origins[:, 2],
+        directions[:, 0], directions[:, 1], directions[:, 2],
+        ones, ones, ones, zeros, zeros, zeros, ones,
+    )))
+    occupancy0 = zero_scalar + jnp.zeros((MAX_BOUNCE_STATS,), jnp.float32)
+
+    # uniforms hoist: measured a WIN here in both modes on v5e
+    # CornellBox (nondiff in-loop threefry was the critical path;
+    # fused-diff fwd+bwd 86.7 -> 84.2 with xs) — default ON, bit-exact
+    # at any width (integer draws only; transforms run in-kernel)
+    draws_all = None
+    if os.environ.get("RPT_RNG_XS", "1") == "1" and max_bounces > 1:
+        draws_all = _precompute_draws(lane_keys, max_bounces, rr_start)
+
+    def draw_cols(bounce, d_b):
+        if d_b is not None:
+            su, bu, cn = d_b["sphere_u"], d_b["ball_u"], d_b["coin"]
+        else:
+            su = sg(sampling.uniform2(
+                sampling.bounce_keys(lane_keys, bounce, sampling.P_LAMBERT)))
+            bu = sg(sampling.uniform3(
+                sampling.bounce_keys(lane_keys, bounce, sampling.P_FUZZ)))
+            cn = sg(sampling.uniform(
+                sampling.bounce_keys(lane_keys, bounce, sampling.P_SCHLICK)))
+        return su[:, 0], su[:, 1], bu[:, 0], bu[:, 1], bu[:, 2], cn
+
+    def bounce_body(carry, bounce, d_b):
+        cols, segments, occupancy = (
+            carry["cols"], carry["segments"], carry["occupancy"]
+        )
+        n_alive = jnp.sum(cols["al"])
+        segments = segments + n_alive
+        occupancy = jax.lax.dynamic_update_slice(
+            occupancy, n_alive[None],
+            (jnp.minimum(bounce, MAX_BOUNCE_STATS - 1),),
+        )
+        su0, su1, bu0, bu1, bu2, cn = draw_cols(bounce, d_b)
+        cols = fused_bounce_cols_step(
+            scene, cols, su0, su1, bu0, bu1, bu2, cn, background,
+            T_MIN, differentiable, interpret=interp,
+        )
+
+        def roulette(args):
+            t0, t1, t2, al = args
+            # op-for-op the _bounce_step fused-branch roulette (same
+            # max tree, same division) — max is associative, so the
+            # column form is bitwise the (R, 3) axis reduce
+            p = jnp.clip(
+                jnp.maximum(jnp.maximum(sg(t0), sg(t1)), sg(t2)),
+                0.05, 1.0,
+            )
+            has_rr = d_b is not None and "roulette" in d_b
+            u = d_b["roulette"] if has_rr else sampling.uniform(
+                sampling.bounce_keys(lane_keys, bounce, sampling.P_ROULETTE)
+            )
+            act = (al > 0.5) & (u < p)
+            t0 = jnp.where(act, t0 / p, t0)
+            t1 = jnp.where(act, t1 / p, t1)
+            t2 = jnp.where(act, t2 / p, t2)
+            al = jnp.where(al > 0.5, act.astype(jnp.float32), al)
+            return t0, t1, t2, al
+
+        t0, t1, t2, al = jax.lax.cond(
+            bounce >= rr_start, roulette, lambda a: a,
+            (cols["t0"], cols["t1"], cols["t2"], cols["al"]),
+        )
+        cols = dict(cols, t0=t0, t1=t1, t2=t2, al=al)
+        return dict(cols=cols, segments=segments, occupancy=occupancy)
+
+    carry0 = dict(cols=cols, segments=zero_scalar, occupancy=occupancy0)
+    if differentiable:
+        unroll = int(os.environ.get("RPT_SCAN_UNROLL", "2"))
+        split_t = os.environ.get("RPT_SCAN_SPLIT_T", "0") == "1"
+        bidx = jnp.arange(max_bounces, dtype=jnp.int32)
+        if draws_all is not None:
+            carry, _ = jax.lax.scan(
+                lambda c, x: (bounce_body(c, x[0], x[1]), None),
+                carry0, (bidx, draws_all),
+                unroll=unroll, _split_transpose=split_t,
+            )
+        else:
+            carry, _ = jax.lax.scan(
+                lambda c, b: (bounce_body(c, b, None), None),
+                carry0, bidx,
+                unroll=unroll, _split_transpose=split_t,
+            )
+        bounces_done = jnp.int32(max_bounces)
+    else:
+        def cond(c):
+            bounce, carry = c
+            return (bounce < max_bounces) & jnp.any(carry["cols"]["al"] > 0.5)
+
+        def body(c):
+            bounce, carry = c
+            d_b = None if draws_all is None else jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, bounce, 0, keepdims=False), draws_all,
+            )
+            return bounce + 1, bounce_body(carry, bounce, d_b)
+
+        bounces_done, carry = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), carry0)
+        )
+
+    c = carry["cols"]
+    rad = jnp.stack([c["r0"], c["r1"], c["r2"]], axis=1)
+    return rad, TraceStats(
+        segments=carry["segments"], bounces=bounces_done,
+        occupancy=carry["occupancy"],
+    )
+
+
 def trace(
     scene,
     origins,
@@ -766,6 +935,13 @@ def trace(
     if reorder:
         lane = zero_lane + np.arange(origins.shape[0], dtype=np.int32)
         init.update(cluster=zero_lane, lane=lane, lkeys=lane_keys)
+
+    if _fused_cols_eligible(scene, differentiable, reorder, remat,
+                            max_bounces, origins.shape[0]):
+        return _trace_fused_cols(
+            scene, origins, directions, lane_keys, background,
+            max_bounces, rr_start, differentiable,
+        )
 
     if differentiable:
         # remat each bounce: the backward sweep recomputes the bounce

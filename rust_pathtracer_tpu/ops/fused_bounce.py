@@ -148,11 +148,25 @@ FLG_ALIVE = 8192      # lane was alive ENTERING the bounce
 FLG_BESTI_SHIFT = 16
 
 
+def _cbrt_tc(u):
+    """Cube root for the Mosaic TC kernel: ``cbrt`` has no TPU
+    lowering (NotImplementedError, like acos/atan2 — see the verify
+    skill's gotcha list), so u^(1/3) = exp(log(u)/3) plus one Newton
+    step (y -> (2y + u/y^2)/3, ~1 ulp on [0,1]); exact 0 at u <= 0.
+    The interpreter path keeps jnp.cbrt so CPU tests compare bitwise
+    against the composed jnp pipeline."""
+    safe = jnp.maximum(u, 1e-30)
+    y = jnp.exp(jnp.log(safe) * (1.0 / 3.0))
+    y = (2.0 * y + safe / (y * y)) * (1.0 / 3.0)
+    return jnp.where(u <= 0.0, 0.0, y)
+
+
 def _kernel(kinds, mat_types, tex_types, t_min, want_residuals,
+            interpret,
             prim_ref, bg_ref, seed_ref,
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             tx_ref, ty_ref, tz_ref, rx_ref, ry_ref, rz_ref,
-            al_ref, sx_ref, sy_ref, sz_ref, bx_ref, by_ref, bz_ref,
+            al_ref, su0_ref, su1_ref, bu0_ref, bu1_ref, bu2_ref,
             cn_ref,
             oxo_ref, oyo_ref, ozo_ref, dxo_ref, dyo_ref, dzo_ref,
             txo_ref, tyo_ref, tzo_ref, rxo_ref, ryo_ref, rzo_ref,
@@ -322,10 +336,33 @@ def _kernel(kinds, mat_types, tex_types, t_min, want_residuals,
         inv_len = 1.0 / jnp.sqrt(jnp.maximum(a, _SAFE_EPS))
         ux, uy, uz = dx * inv_len, dy * inv_len, dz * inv_len
 
+    # ---- RNG transforms (sampling.on/in_unit_sphere_from_u) ---------
+    # Uniforms in, directions here: the trig runs per 8x128 block, so
+    # the values are bitwise identical at EVERY wavefront width and
+    # stage split by construction — stronger than the XLA in-body
+    # guarantee (integrator._precompute_draws docstring), and the
+    # transform rides VMEM for free instead of 7 HBM planes.
     if MAT_LAMBERTIAN in mat_types:
-        dlx = nx + sx_ref[:]
-        dly = ny + sy_ref[:]
-        dlz = nz + sz_ref[:]
+        s_z = 2.0 * su0_ref[:] - 1.0
+        s_phi = (2.0 * np.float32(np.pi)) * su1_ref[:]
+        s_r = jnp.sqrt(jnp.maximum(1.0 - s_z * s_z, 0.0))
+        sph_x = s_r * jnp.cos(s_phi)
+        sph_y = s_r * jnp.sin(s_phi)
+        sph_z = s_z
+    if MAT_METAL in mat_types:
+        b_z = 2.0 * bu0_ref[:] - 1.0
+        b_phi = (2.0 * np.float32(np.pi)) * bu1_ref[:]
+        b_rho = jnp.sqrt(jnp.maximum(1.0 - b_z * b_z, 0.0))
+        b_s = (jnp.cbrt(bu2_ref[:]) if interpret
+               else _cbrt_tc(bu2_ref[:]))
+        ball_x = b_rho * jnp.cos(b_phi) * b_s
+        ball_y = b_rho * jnp.sin(b_phi) * b_s
+        ball_z = b_z * b_s
+
+    if MAT_LAMBERTIAN in mat_types:
+        dlx = nx + sph_x
+        dly = ny + sph_y
+        dlz = nz + sph_z
         nz_mask = (
             (jnp.abs(dlx) < NEAR_ZERO) & (jnp.abs(dly) < NEAR_ZERO)
             & (jnp.abs(dlz) < NEAR_ZERO)
@@ -352,9 +389,9 @@ def _kernel(kinds, mat_types, tex_types, t_min, want_residuals,
         sel = mk == float(MAT_METAL)
         flags = flags + flag(sel, FLG_SEL_M)
         did = did | (sel & ok)
-        sdx = jnp.where(sel, rfx + fz * bx_ref[:], sdx)
-        sdy = jnp.where(sel, rfy + fz * by_ref[:], sdy)
-        sdz = jnp.where(sel, rfz + fz * bz_ref[:], sdz)
+        sdx = jnp.where(sel, rfx + fz * ball_x, sdx)
+        sdy = jnp.where(sel, rfy + fz * ball_y, sdy)
+        sdz = jnp.where(sel, rfz + fz * ball_z, sdz)
         at0 = jnp.where(sel, v0, at0)
         at1 = jnp.where(sel, v1, at1)
         at2 = jnp.where(sel, v2, at2)
@@ -438,40 +475,43 @@ def _kernel(kinds, mat_types, tex_types, t_min, want_residuals,
         rflags_ref[:] = flags
 
 
+# the 13 wavefront state columns, in kernel order (al is f32 0/1)
+_COL_KEYS = ("o0", "o1", "o2", "d0", "d1", "d2", "t0", "t1", "t2",
+             "r0", "r1", "r2", "al")
+
+
+def _plane(x, R=None):
+    """(R,) column -> (rows, 128) plane.  A FREE reshape when R is a
+    multiple of the lane block (the renderer's chunk widths are) —
+    the whole point of the column-native carry: no strided
+    column-extract copies around the kernel."""
+    R = x.shape[0] if R is None else R
+    lane_block = BLOCK_ROWS * 128
+    rp = -(-R // lane_block) * lane_block
+    return jnp.pad(x, (0, rp - R)).reshape(rp // 128, 128)
+
+
 @functools.partial(jax.jit, static_argnames=("kinds", "mat_types",
                                              "tex_types", "t_min",
                                              "interpret",
                                              "want_residuals"))
-def _fused_bounce(packed, bg, seed, o, d, thr, rad, alive,
-                  sphere_dir, ball_dir, coin, *, kinds, mat_types,
-                  tex_types, t_min, interpret=False,
-                  want_residuals=False):
-    R = o.shape[0]
-    lane_block = BLOCK_ROWS * 128
-    rp = -(-R // lane_block) * lane_block
-    pad = rp - R
-
-    def plane(x):
-        return jnp.pad(x, (0, pad)).reshape(rp // 128, 128)
-
-    planes = [
-        plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
-        plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2]),
-        plane(thr[:, 0]), plane(thr[:, 1]), plane(thr[:, 2]),
-        plane(rad[:, 0]), plane(rad[:, 1]), plane(rad[:, 2]),
-        plane(alive.astype(jnp.float32)),
-        plane(sphere_dir[:, 0]), plane(sphere_dir[:, 1]),
-        plane(sphere_dir[:, 2]),
-        plane(ball_dir[:, 0]), plane(ball_dir[:, 1]), plane(ball_dir[:, 2]),
-        plane(coin),
+def _fused_bounce_cols(packed, bg, seed, cols, su0, su1, bu0, bu1, bu2,
+                       coin, *, kinds, mat_types, tex_types, t_min,
+                       interpret=False, want_residuals=False):
+    """Column-native fused bounce: 13 (R,) state columns + 6 (R,)
+    uniform columns in, 13 (R,) columns out (+ planed residuals).
+    All reshapes to the kernel's (rows, 128) layout are contiguous."""
+    R = cols["o0"].shape[0]
+    planes = [_plane(cols[k], R) for k in _COL_KEYS] + [
+        _plane(x, R) for x in (su0, su1, bu0, bu1, bu2, coin)
     ]
-    rows = rp // 128
+    rows = planes[0].shape[0]
     grid = (rows // BLOCK_ROWS,)
     ray_spec = pl.BlockSpec(
         (BLOCK_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     tab_space = pltpu.SMEM if packed.shape[1] <= 128 else pltpu.VMEM
-    vma = jax.typeof(o).vma  # shard_map check_vma (see pallas_intersect)
+    vma = jax.typeof(cols["o0"]).vma  # shard_map check_vma
     f32 = jax.ShapeDtypeStruct((rows, 128), jnp.float32, vma=vma)
     i32 = jax.ShapeDtypeStruct((rows, 128), jnp.int32, vma=vma)
     n_out = 13 + (10 if want_residuals else 0)
@@ -480,45 +520,65 @@ def _fused_bounce(packed, bg, seed, o, d, thr, rad, alive,
         out_shape = out_shape + (f32,) * 9 + (i32,)
     outs = pl.pallas_call(
         functools.partial(_kernel, kinds, mat_types, tex_types, t_min,
-                          want_residuals),
+                          want_residuals, interpret),
         grid=grid,
         in_specs=[
             pl.BlockSpec(packed.shape, lambda i: (0, 0),
                          memory_space=tab_space),
             pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ] + [ray_spec] * 20,
+        ] + [ray_spec] * 19,
         out_specs=(ray_spec,) * n_out,
         out_shape=out_shape,
         interpret=interpret,
     )(packed, bg.reshape(1, 3), seed.reshape(1, 1), *planes)
 
-    def unplane(x):
-        return x.reshape(-1)[:R]
-
-    (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, al) = [
-        unplane(x) for x in outs[:13]
-    ]
-    state_out = (
-        jnp.stack([ox, oy, oz], 1),
-        jnp.stack([dx, dy, dz], 1),
-        jnp.stack([tx, ty, tz], 1),
-        jnp.stack([rx, ry, rz], 1),
-        al > 0.5,
-    )
+    cols_out = {
+        k: x.reshape(-1)[:R] for k, x in zip(_COL_KEYS, outs[:13])
+    }
     if not want_residuals:
-        return state_out
+        return cols_out
     # residuals stay PLANED (rows, 128): the Pallas backward consumes
     # them block-for-block with zero relayout; lanes >= R are dead
     # (alive padded 0 -> no CONT/HIT flag -> zero grads)
     res = dict(zip(_RES_KEYS, outs[13:]))
-    return state_out, res
+    return cols_out, res
 
 
-def fused_bounce_apply(scene, o, d, thr, rad, alive, sphere_dir,
-                       ball_dir, coin, background, t_min,
+def _fused_bounce(packed, bg, seed, o, d, thr, rad, alive,
+                  sphere_u, ball_u, coin, *, kinds, mat_types,
+                  tex_types, t_min, interpret=False):
+    """(R, 3) AoS wrapper over _fused_bounce_cols (regen wavefront +
+    trace_resume keep this interface; the hot diff/nondiff scans use
+    the column carry directly)."""
+    cols = dict(zip(_COL_KEYS, (
+        o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+        thr[:, 0], thr[:, 1], thr[:, 2], rad[:, 0], rad[:, 1],
+        rad[:, 2], alive.astype(jnp.float32),
+    )))
+    c = _fused_bounce_cols(
+        packed, bg, seed, cols, sphere_u[:, 0], sphere_u[:, 1],
+        ball_u[:, 0], ball_u[:, 1], ball_u[:, 2], coin, kinds=kinds,
+        mat_types=mat_types, tex_types=tex_types, t_min=t_min,
+        interpret=interpret,
+    )
+    return (
+        jnp.stack([c["o0"], c["o1"], c["o2"]], 1),
+        jnp.stack([c["d0"], c["d1"], c["d2"]], 1),
+        jnp.stack([c["t0"], c["t1"], c["t2"]], 1),
+        jnp.stack([c["r0"], c["r1"], c["r2"]], 1),
+        c["al"] > 0.5,
+    )
+
+
+def fused_bounce_apply(scene, o, d, thr, rad, alive, sphere_u,
+                       ball_u, coin, background, t_min,
                        interpret=False):
     """Run one full bounce in the fused kernel.
+
+    ``sphere_u`` (R, 2) and ``ball_u`` (R, 3) are RAW UNIFORMS —
+    the on/in-unit-sphere transforms run in-kernel (bitwise stable at
+    every wavefront width; see _kernel).
 
     Returns (o', d', thr', rad', alive') with the same semantics as the
     composed search_and_record + shade + commit path in
@@ -528,7 +588,7 @@ def fused_bounce_apply(scene, o, d, thr, rad, alive, sphere_dir,
     seed = jnp.asarray(scene.textures.perlin_seed, jnp.uint32)
     bg = jnp.asarray(background, jnp.float32)
     o2, d2, t2, r2, al2 = _fused_bounce(
-        packed, bg, seed, o, d, thr, rad, alive, sphere_dir, ball_dir,
+        packed, bg, seed, o, d, thr, rad, alive, sphere_u, ball_u,
         coin, kinds=scene.kinds_static, mat_types=scene.mat_types,
         tex_types=scene.tex_types, t_min=float(t_min),
         interpret=interpret,
@@ -718,64 +778,69 @@ def _bwd_kernel(mat_types, bg_ref,
 def fused_bounce_diff_ok(scene) -> bool:
     """Static routing for the differentiable fused bounce.
 
-    Default OFF (opt-in via RPT_FUSED_BOUNCE_DIFF=1): the fused diff
-    FORWARD wins (58.3 vs 67.9 ms on the v5e CornellBox 512^2 bench
-    step) but the hand-written backward currently loses to XLA AD's
-    transposed scan (fwd+bwd 115.9 vs 86.6 ms) — see DESIGN.md §13
-    for the decomposition.  Flip the default once the backward beats
-    AD."""
+    Default ON: with the column-native carry + Pallas transposed-
+    shading backward this beats the XLA diff path on the v5e
+    CornellBox 512^2 bench step (76.3 vs 87.0 ms fwd+bwd same-day;
+    diff forward 38.8 vs 67.9) — see DESIGN.md §13 for the
+    progression.  RPT_FUSED_BOUNCE_DIFF=0 reverts to the XLA path."""
     return (
         fused_bounce_ok(scene)
         and set(scene.tex_types) <= {TEX_SOLID, TEX_CHECKER}
         and os.environ.get("RPT_DIFF_T", "analytic") == "analytic"
-        and os.environ.get("RPT_FUSED_BOUNCE_DIFF", "0") == "1"
+        and os.environ.get("RPT_FUSED_BOUNCE_DIFF", "1") == "1"
     )
 
 
 @functools.lru_cache(maxsize=None)
 def _make_fused_bounce_vjp(kinds, mat_types, tex_types, t_min, interpret):
+    """Column-native custom VJP: ``bounce(cols, su0, su1, bu0, bu1,
+    bu2, coin, packed, bg) -> cols'`` where ``cols`` is the 13-column
+    state dict (_COL_KEYS).  Column carries keep every reshape around
+    the forward/backward kernels contiguous — the (R, 3) AoS carry
+    paid ~26 strided column-extract/stack copies per bounce in each
+    sweep."""
     P = len(kinds)
 
-    def run(o, d, thr, rad, alive_f, sph, ball, coin, packed, bg,
-            want_res):
+    def run(cols, su0, su1, bu0, bu1, bu2, coin, packed, bg, want_res):
         seed = jnp.zeros((1,), jnp.uint32)  # perlin is gated out here
-        return _fused_bounce(
-            packed, bg, seed, o, d, thr, rad, alive_f > 0.5, sph, ball,
-            coin, kinds=kinds, mat_types=mat_types, tex_types=tex_types,
+        return _fused_bounce_cols(
+            packed, bg, seed, cols, su0, su1, bu0, bu1, bu2, coin,
+            kinds=kinds, mat_types=mat_types, tex_types=tex_types,
             t_min=t_min, interpret=interpret, want_residuals=want_res,
         )
 
     @jax.custom_vjp
-    def bounce(o, d, thr, rad, alive_f, sph, ball, coin, packed, bg):
-        return run(o, d, thr, rad, alive_f, sph, ball, coin, packed, bg,
+    def bounce(cols, su0, su1, bu0, bu1, bu2, coin, packed, bg):
+        return run(cols, su0, su1, bu0, bu1, bu2, coin, packed, bg,
                    False)
 
-    def fwd(o, d, thr, rad, alive_f, sph, ball, coin, packed, bg):
-        out, res = run(o, d, thr, rad, alive_f, sph, ball, coin, packed,
-                       bg, True)
+    def fwd(cols, su0, su1, bu0, bu1, bu2, coin, packed, bg):
+        out, res = run(cols, su0, su1, bu0, bu1, bu2, coin, packed, bg,
+                       True)
+        d = (cols["d0"], cols["d1"], cols["d2"])
+        thr = (cols["t0"], cols["t1"], cols["t2"])
         return out, (d, thr, bg, res, packed)
 
     def bwd(saved, cots):
         d, thr, bg, res, packed = saved
-        g_o2, g_d2, g_thr2, g_rad2, _g_alive = cots
+        zr = jnp.zeros_like(d[0])
 
         # RPT_FBD_PROBE (perf decomposition only — WRONG GRADIENTS):
         # "zero" returns zero cotangents (isolates residual traffic +
         # scan transpose machinery); "notex" skips the packed-color
         # one-hot contraction (isolates its cost).
         probe = os.environ.get("RPT_FBD_PROBE", "")
-        zr = jnp.zeros(d.shape[:1], d.dtype)
         if probe == "zero":
-            z3 = jnp.zeros_like(d)
-            return (z3, z3, z3, z3, zr, z3, z3, zr,
+            return ({k: zr for k in _COL_KEYS}, zr, zr, zr, zr, zr, zr,
                     jnp.zeros_like(packed), jnp.zeros_like(bg))
 
-        R = d.shape[0]
+        R = d[0].shape[0]
+        g_o2 = (cots["o0"], cots["o1"], cots["o2"])
+        g_d2 = (cots["d0"], cots["d1"], cots["d2"])
+        g_thr2 = (cots["t0"], cots["t1"], cots["t2"])
+        g_rad2 = (cots["r0"], cots["r1"], cots["r2"])
 
-        def unplane(x):
-            return x.reshape(-1)[:R]
-
-        flags_l = unplane(res["flags"])
+        flags_l = res["flags"].reshape(-1)[:R]
         best_i = flags_l >> FLG_BESTI_SHIFT
         hit = _bit(flags_l, FLG_HIT)
         cont = _bit(flags_l, FLG_CONT)
@@ -785,9 +850,6 @@ def _make_fused_bounce_vjp(kinds, mat_types, tex_types, t_min, interpret):
         light_on = _bit(flags_l, FLG_LIGHT_ON)
         is_ck = _bit(flags_l, FLG_IS_CK)
         miss = _bit(flags_l, FLG_ALIVE) & ~hit
-
-        def m(mask):
-            return mask[:, None].astype(jnp.float32)
 
         if os.environ.get("RPT_FBD_BWD", "pallas") == "pallas":
             g_o, g_d, g_thr = _bwd_call(
@@ -800,11 +862,16 @@ def _make_fused_bounce_vjp(kinds, mat_types, tex_types, t_min, interpret):
             )
 
         # ---- small reductions stay in XLA (fuse with the einsum) -----
-        g_rad = g_rad2
-        g_bg = jnp.sum(m(miss) * thr * g_rad2, axis=0)
-        g_val = (
-            m(sel_l | sel_m) * thr * g_thr2 + m(light_on) * thr * g_rad2
-        )
+        missf = miss.astype(jnp.float32)
+        g_bg = jnp.stack([
+            jnp.sum(missf * thr[c] * g_rad2[c]) for c in range(3)
+        ])
+        lmf = (sel_l | sel_m).astype(jnp.float32)
+        lonf = light_on.astype(jnp.float32)
+        g_val = [
+            lmf * thr[c] * g_thr2[c] + lonf * thr[c] * g_rad2[c]
+            for c in range(3)
+        ]
 
         # ---- packed color rows (ONE one-hot MXU contraction) ----------
         # HIGHEST precision like ops/table.lookup: the one-hot operand
@@ -821,8 +888,9 @@ def _make_fused_bounce_vjp(kinds, mat_types, tex_types, t_min, interpret):
         )
         gp = jnp.zeros_like(packed)
         if probe != "notex":
-            gv9 = jnp.concatenate(
-                [g_val * m(mask) for _, mask in targets], axis=1
+            gv9 = jnp.stack(
+                [g_val[c] * mask.astype(jnp.float32)
+                 for _, mask in targets for c in range(3)], axis=1
             )                                                 # (R, 9)
             contrib = jnp.einsum(
                 "rp,rc->pc", onehot, gv9,
@@ -834,9 +902,12 @@ def _make_fused_bounce_vjp(kinds, mat_types, tex_types, t_min, interpret):
                     contrib[:, 3 * j:3 * j + 3].T
                 )
 
-        zeros3 = jnp.zeros_like(d)
-        return (g_o, g_d, g_thr, g_rad, zr, zeros3, zeros3, zr, gp,
-                g_bg)
+        g_cols = dict(zip(_COL_KEYS, (
+            g_o[0], g_o[1], g_o[2], g_d[0], g_d[1], g_d[2],
+            g_thr[0], g_thr[1], g_thr[2],
+            g_rad2[0], g_rad2[1], g_rad2[2], zr,
+        )))
+        return (g_cols, zr, zr, zr, zr, zr, zr, gp, g_bg)
 
     bounce.defvjp(fwd, bwd)
     return bounce
@@ -854,22 +925,20 @@ _RES_KEYS = ("t", "nx", "ny", "nz", "v0", "v1", "v2", "ratio", "invr",
 def _bwd_call(res, d, bg, g_o2, g_d2, g_thr2, g_rad2, *,
               mat_types, interpret=False):
     """Dispatch the transposed-shading Pallas kernel: planed residuals
-    + cotangents in, (g_o, g_d, g_thr) out."""
+    + column cotangents in, (g_o, g_d, g_thr) column triples out.
+    ``d`` and the cotangents are 3-tuples of (R,) columns — every
+    reshape here is contiguous."""
     rows = res["t"].shape[0]
-    R = d.shape[0]
-    pad = rows * 128 - R
-
-    def plane(x):
-        return jnp.pad(x, (0, pad)).reshape(rows, 128)
+    R = d[0].shape[0]
 
     ins = [res[k] for k in _RES_KEYS]
     for v in (d, g_o2, g_d2, g_thr2, g_rad2):
-        ins.extend(plane(v[:, j]) for j in range(3))
+        ins.extend(_plane(c, R) for c in v)
     grid = (rows // BLOCK_ROWS,)
     ray_spec = pl.BlockSpec(
         (BLOCK_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    vma = jax.typeof(d).vma
+    vma = jax.typeof(d[0]).vma
     f32 = jax.ShapeDtypeStruct((rows, 128), jnp.float32, vma=vma)
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, mat_types),
@@ -882,19 +951,21 @@ def _bwd_call(res, d, bg, g_o2, g_d2, g_thr2, g_rad2, *,
         interpret=interpret,
     )(bg.reshape(1, 3), *ins)
 
-    def unplane(x):
-        return x.reshape(-1)[:R]
-
-    o = [unplane(x) for x in outs]
-    return (jnp.stack(o[0:3], 1), jnp.stack(o[3:6], 1),
-            jnp.stack(o[6:9], 1))
+    o = [x.reshape(-1)[:R] for x in outs]
+    return tuple(o[0:3]), tuple(o[3:6]), tuple(o[6:9])
 
 
 def _bwd_xla(res, d, bg, g_o2, g_d2, g_thr2, g_rad2, mat_types):
     """XLA variant of the per-lane backward chains (RPT_FBD_BWD=xla):
     the same closed-form math as _bwd_kernel, left to XLA's fuser —
-    kept for A/B and as the interpreter-free fallback."""
-    R = d.shape[0]
+    kept for A/B and as the interpreter-free fallback.  Column tuples
+    in/out like _bwd_call (internally (R, 3) for brevity)."""
+    R = d[0].shape[0]
+    d = jnp.stack(d, 1)
+    g_o2 = jnp.stack(g_o2, 1)
+    g_d2 = jnp.stack(g_d2, 1)
+    g_thr2 = jnp.stack(g_thr2, 1)
+    g_rad2 = jnp.stack(g_rad2, 1)
 
     def up(x):
         return x.reshape(-1)[:R]
@@ -982,20 +1053,61 @@ def _bwd_xla(res, d, bg, g_o2, g_d2, g_thr2, g_rad2, mat_types):
     den = jnp.where(jnp.abs(den) < 1e-30, 1.0, den)
     g_o = g_o + g_t * (-n / den)
     g_d = g_d + g_t * (-t[:, None] * n / den)
-    return g_o, g_d, g_thr
-
-
-def fused_bounce_diff_apply(scene, o, d, thr, rad, alive, sphere_dir,
-                            ball_dir, coin, background, t_min,
-                            interpret=False):
-    """Differentiable fused bounce (custom VJP).  Same state-update
-    semantics as fused_bounce_apply; gradients flow to (o, d, thr, rad),
-    scene.textures.color (via pack_prims_shaded), and background."""
-    packed = pack_prims_shaded(scene)
-    bounce = _make_fused_bounce_vjp(
-        scene.kinds_static, scene.mat_types, scene.tex_types,
-        float(t_min), bool(interpret),
+    return (
+        (g_o[:, 0], g_o[:, 1], g_o[:, 2]),
+        (g_d[:, 0], g_d[:, 1], g_d[:, 2]),
+        (g_thr[:, 0], g_thr[:, 1], g_thr[:, 2]),
     )
+
+
+def fused_bounce_cols_step(scene, cols, su0, su1, bu0, bu1, bu2, coin,
+                           background, t_min, differentiable,
+                           interpret=False):
+    """Column-native bounce for the hot scan carries (integrator
+    _trace_fused_cols): 13-column state dict + 6 uniform columns in,
+    columns out.  ``differentiable`` routes through the custom VJP
+    (detached-sampling gradients to o/d/thr/rad, texture colors via
+    ``packed``, and background)."""
     bg = jnp.asarray(background, jnp.float32)
-    return bounce(o, d, thr, rad, alive.astype(jnp.float32), sphere_dir,
-                  ball_dir, coin, packed, bg)
+    if differentiable:
+        packed = pack_prims_shaded(scene)
+        bounce = _make_fused_bounce_vjp(
+            scene.kinds_static, scene.mat_types, scene.tex_types,
+            float(t_min), bool(interpret),
+        )
+        return bounce(cols, su0, su1, bu0, bu1, bu2, coin, packed, bg)
+    packed = jax.lax.stop_gradient(pack_prims_shaded(scene))
+    seed = jnp.asarray(scene.textures.perlin_seed, jnp.uint32)
+    return _fused_bounce_cols(
+        packed, bg, seed, cols, su0, su1, bu0, bu1, bu2, coin,
+        kinds=scene.kinds_static, mat_types=scene.mat_types,
+        tex_types=scene.tex_types, t_min=float(t_min),
+        interpret=interpret,
+    )
+
+
+def fused_bounce_diff_apply(scene, o, d, thr, rad, alive, sphere_u,
+                            ball_u, coin, background, t_min,
+                            interpret=False):
+    """Differentiable fused bounce (custom VJP), (R, 3) AoS wrapper
+    over the column-native core.  Same state-update semantics as
+    fused_bounce_apply (uniforms in, transforms in-kernel); gradients
+    flow to (o, d, thr, rad), scene.textures.color (via
+    pack_prims_shaded), and background."""
+    cols = dict(zip(_COL_KEYS, (
+        o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+        thr[:, 0], thr[:, 1], thr[:, 2], rad[:, 0], rad[:, 1],
+        rad[:, 2], alive.astype(jnp.float32),
+    )))
+    c = fused_bounce_cols_step(
+        scene, cols, sphere_u[:, 0], sphere_u[:, 1], ball_u[:, 0],
+        ball_u[:, 1], ball_u[:, 2], coin, background, t_min,
+        differentiable=True, interpret=interpret,
+    )
+    return (
+        jnp.stack([c["o0"], c["o1"], c["o2"]], 1),
+        jnp.stack([c["d0"], c["d1"], c["d2"]], 1),
+        jnp.stack([c["t0"], c["t1"], c["t2"]], 1),
+        jnp.stack([c["r0"], c["r1"], c["r2"]], 1),
+        c["al"] > 0.5,
+    )

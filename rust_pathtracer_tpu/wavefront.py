@@ -266,10 +266,12 @@ def render_radiance_regen(
         alive, depth, lkeys = s["alive"], s["depth"], s["lkeys"]
         segments = s["segments"] + jnp.sum(alive.astype(jnp.float32))
 
-        # per-lane path depth drives the RNG fold (matches chunked mode)
-        sphere_dir = sampling.on_unit_sphere(
+        # per-lane path depth drives the RNG fold (matches chunked
+        # mode).  Uniforms only here: the fused kernel transforms
+        # in-kernel; the composed branch transforms below.
+        sphere_u = sampling.uniform2(
             sampling.bounce_keys(lkeys, depth, sampling.P_LAMBERT))
-        ball_dir = sampling.in_unit_sphere(
+        ball_u = sampling.uniform3(
             sampling.bounce_keys(lkeys, depth, sampling.P_FUZZ))
         coin = sampling.uniform(
             sampling.bounce_keys(lkeys, depth, sampling.P_SCHLICK))
@@ -292,7 +294,7 @@ def render_radiance_regen(
             )
 
             o, d, thr, rad, cont_k = fused_bounce_apply(
-                scene, o, d, thr, rad, alive, sphere_dir, ball_dir, coin,
+                scene, o, d, thr, rad, alive, sphere_u, ball_u, coin,
                 bg, T_MIN, interpret=not pallas_available(),
             )
             cont = cont_k & depth_ok
@@ -307,6 +309,8 @@ def render_radiance_regen(
             em = emitted(scene, rec, si)
             rad = rad + jnp.where(hit_mask[..., None], thr * em, 0.0)
 
+            sphere_dir = sampling.on_unit_sphere_from_u(sphere_u)
+            ball_dir = sampling.in_unit_sphere_from_u(ball_u)
             sc = scatter(scene, rec, d, sphere_dir, ball_dir, coin, si)
 
             cont = alive & hit_mask & sc.did_scatter & depth_ok

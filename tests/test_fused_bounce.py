@@ -235,13 +235,15 @@ def test_fused_bounce_vjp_finite_difference(monkeypatch):
         pack_prims_shaded,
     )
 
+    from rust_pathtracer_tpu.ops.fused_bounce import _COL_KEYS
+
     monkeypatch.setenv("RPT_FB_INTERPRET", "1")
     scene = _solid_checker_scene()
     R = 96
     o, d = _rays(R)
     keys = _lane_keys(R, seed=5)
-    sph = sampling.on_unit_sphere(sampling.bounce_keys(keys, 0, 2))
-    ball = sampling.in_unit_sphere(sampling.bounce_keys(keys, 0, 3))
+    sph = sampling.uniform2(sampling.bounce_keys(keys, 0, 2))
+    ball = sampling.uniform3(sampling.bounce_keys(keys, 0, 3))
     coin = sampling.uniform(sampling.bounce_keys(keys, 0, 4))
     thr = 0.5 + 0.5 * sampling.uniform(sampling.bounce_keys(keys, 1, 0))
     thr = jnp.stack([thr, thr * 0.8, thr * 0.6], 1)
@@ -261,8 +263,17 @@ def test_fused_bounce_vjp_finite_difference(monkeypatch):
           for i in range(4)]
 
     def loss(o_, d_, thr_, packed_, bg_):
-        o2, d2, t2, r2, _ = bounce(o_, d_, thr_, rad, alive_f, sph, ball,
-                                   coin, packed_, bg_)
+        cols = dict(zip(_COL_KEYS, (
+            o_[:, 0], o_[:, 1], o_[:, 2], d_[:, 0], d_[:, 1], d_[:, 2],
+            thr_[:, 0], thr_[:, 1], thr_[:, 2],
+            rad[:, 0], rad[:, 1], rad[:, 2], alive_f,
+        )))
+        c = bounce(cols, sph[:, 0], sph[:, 1], ball[:, 0], ball[:, 1],
+                   ball[:, 2], coin, packed_, bg_)
+        o2 = jnp.stack([c["o0"], c["o1"], c["o2"]], 1)
+        d2 = jnp.stack([c["d0"], c["d1"], c["d2"]], 1)
+        t2 = jnp.stack([c["t0"], c["t1"], c["t2"]], 1)
+        r2 = jnp.stack([c["r0"], c["r1"], c["r2"]], 1)
         return (jnp.sum(ws[0] * o2) + jnp.sum(ws[1] * d2)
                 + jnp.sum(ws[2] * t2) + jnp.sum(ws[3] * r2))
 
