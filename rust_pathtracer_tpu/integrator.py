@@ -837,11 +837,12 @@ def _trace_fused_cols(scene, origins, directions, lane_keys, background,
             al = jnp.where(al > 0.5, act.astype(jnp.float32), al)
             return t0, t1, t2, al
 
-        t0, t1, t2, al = jax.lax.cond(
-            bounce >= rr_start, roulette, lambda a: a,
-            (cols["t0"], cols["t1"], cols["t2"], cols["al"]),
-        )
-        cols = dict(cols, t0=t0, t1=t1, t2=t2, al=al)
+        if rr_start < max_bounces:  # static: RR can ever fire at all
+            t0, t1, t2, al = jax.lax.cond(
+                bounce >= rr_start, roulette, lambda a: a,
+                (cols["t0"], cols["t1"], cols["t2"], cols["al"]),
+            )
+            cols = dict(cols, t0=t0, t1=t1, t2=t2, al=al)
         return dict(cols=cols, segments=segments, occupancy=occupancy)
 
     carry0 = dict(cols=cols, segments=zero_scalar, occupancy=occupancy0)
