@@ -617,6 +617,24 @@ def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
     return out
 
 
+def _resolve_remat_mode(remat, lanes, max_bounces):
+    """Resolve the effective remat policy for a diff trace.
+
+    Single source of truth for the RPT_REMAT env fallback and the
+    "auto" threshold (~24M lane-bounces ≈ 7 GB of residuals, measured
+    on v5e: no-remat 101.5 ms vs names-policy 134 ms when residuals
+    fit) — used by both the fused-cols eligibility check and trace()'s
+    generic diff route so the two can never disagree about which mode
+    a config resolves to (round-4 ADVICE item).
+    """
+    import os
+
+    mode = remat or os.environ.get("RPT_REMAT", "auto")
+    if mode == "auto":
+        mode = "none" if lanes * max_bounces <= 24_000_000 else "mid"
+    return mode
+
+
 def _diff_cascade_stages(max_bounces, n_lanes):
     """Parse RPT_DIFF_CASCADE="8:2,14:4" into [(boundary, shrink), ...].
 
@@ -726,8 +744,6 @@ def _fused_cols_eligible(scene, differentiable, reorder, remat,
     Only for fused-bounce-eligible scenes on the plain (non-reorder,
     non-cascade, remat="none") paths — everything else keeps the
     generic state-dict loops."""
-    import os
-
     if reorder:
         return False
     from rust_pathtracer_tpu.ops.fused_bounce import (
@@ -743,9 +759,7 @@ def _fused_cols_eligible(scene, differentiable, reorder, remat,
         return fused_bounce_ok(scene)
     if not fused_bounce_diff_ok(scene):
         return False
-    mode = remat or os.environ.get("RPT_REMAT", "auto")
-    if mode == "auto":
-        mode = "none" if lanes * max_bounces <= 24_000_000 else "mid"
+    mode = _resolve_remat_mode(remat, lanes, max_bounces)
     return mode == "none" and not _diff_cascade_stages(max_bounces, lanes)
 
 
@@ -963,10 +977,7 @@ def trace(
         # same-shape second call (jit cache).  Callers that vary the
         # policy must pass ``remat`` (a static jit arg upstream) or
         # clear caches; see RenderSettings.remat.
-        mode = remat or os.environ.get("RPT_REMAT", "auto")
-        if mode == "auto":
-            lane_bounces = origins.shape[0] * max_bounces
-            mode = "none" if lane_bounces <= 24_000_000 else "mid"
+        mode = _resolve_remat_mode(remat, origins.shape[0], max_bounces)
         def make_step(lk):
             if mode == "bf16":
                 # save-everything backward with residuals stored in

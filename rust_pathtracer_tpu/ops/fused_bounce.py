@@ -458,20 +458,25 @@ def _kernel(kinds, mat_types, tex_types, t_min, want_residuals,
 
     if want_residuals:
         # what the hand-written VJP (fused_bounce_vjp) consumes — see
-        # _bounce_bwd for the exact formulas each field feeds
+        # _bounce_bwd for the exact formulas each field feeds.  The
+        # refs' dtype may be bfloat16 (RPT_FBD_RES=bf16): the store
+        # rounds, the backward upcasts on load — halves the residual
+        # round-trip traffic under the documented gradient-accuracy
+        # contract (primal forward bitwise unchanged either way).
         (t_ref, rnx_ref, rny_ref, rnz_ref, rv0_ref, rv1_ref, rv2_ref,
          rratio_ref, rinvr_ref, rflags_ref) = res_refs
+        rdt = t_ref.dtype
         flags = (flags + flag(cont, FLG_CONT) + flag(alive, FLG_ALIVE)
                  + (jnp.maximum(best_i, 0) << FLG_BESTI_SHIFT))
-        t_ref[:] = t
-        rnx_ref[:] = nx
-        rny_ref[:] = ny
-        rnz_ref[:] = nz
-        rv0_ref[:] = v0
-        rv1_ref[:] = v1
-        rv2_ref[:] = v2
-        rratio_ref[:] = ratio
-        rinvr_ref[:] = flip * w_invr
+        t_ref[:] = t.astype(rdt)
+        rnx_ref[:] = nx.astype(rdt)
+        rny_ref[:] = ny.astype(rdt)
+        rnz_ref[:] = nz.astype(rdt)
+        rv0_ref[:] = v0.astype(rdt)
+        rv1_ref[:] = v1.astype(rdt)
+        rv2_ref[:] = v2.astype(rdt)
+        rratio_ref[:] = ratio.astype(rdt)
+        rinvr_ref[:] = (flip * w_invr).astype(rdt)
         rflags_ref[:] = flags
 
 
@@ -489,6 +494,14 @@ def _plane(x, R=None):
     lane_block = BLOCK_ROWS * 128
     rp = -(-R // lane_block) * lane_block
     return jnp.pad(x, (0, rp - R)).reshape(rp // 128, 128)
+
+
+def _res_dtype():
+    """Residual-plane dtype: f32 (default) or bf16 (RPT_FBD_RES=bf16,
+    opt-in — halves the residual round-trip under a documented
+    gradient-accuracy contract; flags stay int32 either way)."""
+    return (jnp.bfloat16 if os.environ.get("RPT_FBD_RES") == "bf16"
+            else jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("kinds", "mat_types",
@@ -517,7 +530,8 @@ def _fused_bounce_cols(packed, bg, seed, cols, su0, su1, bu0, bu1, bu2,
     n_out = 13 + (10 if want_residuals else 0)
     out_shape = (f32,) * 13
     if want_residuals:
-        out_shape = out_shape + (f32,) * 9 + (i32,)
+        rf = jax.ShapeDtypeStruct((rows, 128), _res_dtype(), vma=vma)
+        out_shape = out_shape + (rf,) * 9 + (i32,)
     outs = pl.pallas_call(
         functools.partial(_kernel, kinds, mat_types, tex_types, t_min,
                           want_residuals, interpret),
@@ -628,8 +642,11 @@ def _bwd_kernel(mat_types, bg_ref,
     def mz(mask, x):
         return jnp.where(mask, x, 0.0)
 
+    f32 = jnp.float32
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-    nx, ny, nz = nx_ref[:], ny_ref[:], nz_ref[:]
+    nx = nx_ref[:].astype(f32)
+    ny = ny_ref[:].astype(f32)
+    nz = nz_ref[:].astype(f32)
     gox2, goy2, goz2 = gox_ref[:], goy_ref[:], goz_ref[:]
     gdx2, gdy2, gdz2 = gdx_ref[:], gdy_ref[:], gdz_ref[:]
     gtx2, gty2, gtz2 = gtx_ref[:], gty_ref[:], gtz_ref[:]
@@ -638,7 +655,7 @@ def _bwd_kernel(mat_types, bg_ref,
     a = dx * dx + dy * dy + dz * dz
     inv_sa = jax.lax.rsqrt(jnp.maximum(a, _SAFE_EPS))
     ux, uy, uz = dx * inv_sa, dy * inv_sa, dz * inv_sa
-    rr = ratio_ref[:]
+    rr = ratio_ref[:].astype(f32)
 
     # ---- scatter direction chains: g_dir -> (g_u, g_n) --------------
     g_dirx = mz(cont, gdx2)
@@ -713,7 +730,9 @@ def _bwd_kernel(mat_types, bg_ref,
     g_dz = mz(jnp.logical_not(cont), gdz2) + (g_uz - uz * udg) * inv_sa
 
     # ---- throughput (attenuation + miss background + light emission) -
-    v0, v1, v2 = v0_ref[:], v1_ref[:], v2_ref[:]
+    v0 = v0_ref[:].astype(f32)
+    v1 = v1_ref[:].astype(f32)
+    v2 = v2_ref[:].astype(f32)
     lm = sel_l | sel_m
     bg0, bg1, bg2 = bg_ref[0, 0], bg_ref[0, 1], bg_ref[0, 2]
     tx_o[:] = (jnp.where(cont, jnp.where(lm, v0, 1.0) * gtx2, gtx2)
@@ -724,13 +743,13 @@ def _bwd_kernel(mat_types, bg_ref,
                + mz(miss, bg2 * grz2) + mz(light_on, v2 * grz2))
 
     # ---- normal -> hit point (sphere dn/dp = flip/r, 0 otherwise) ----
-    invr = invr_ref[:]
+    invr = invr_ref[:].astype(f32)
     g_px = mz(cont, gox2) + invr * g_nx
     g_py = mz(cont, goy2) + invr * g_ny
     g_pz = mz(cont, goz2) + invr * g_nz
 
     # ---- point = o + t(o,d) d; analytic-t chain ----------------------
-    t = t_ref[:]
+    t = t_ref[:].astype(f32)
     g_t = dx * g_px + dy * g_py + dz * g_pz
     den = nx * dx + ny * dy + nz * dz
     den = jnp.where(jnp.abs(den) < 1e-30, 1.0, den)
@@ -968,7 +987,9 @@ def _bwd_xla(res, d, bg, g_o2, g_d2, g_thr2, g_rad2, mat_types):
     g_rad2 = jnp.stack(g_rad2, 1)
 
     def up(x):
-        return x.reshape(-1)[:R]
+        # residual planes may be bf16 (RPT_FBD_RES=bf16) — upcast
+        col = x.reshape(-1)[:R]
+        return col.astype(jnp.float32) if col.dtype != jnp.int32 else col
 
     t = up(res["t"])
     n = jnp.stack([up(res["nx"]), up(res["ny"]), up(res["nz"])], 1)

@@ -66,9 +66,10 @@ RES_BLOCK_ROWS = 8
 RES_MAX_COLS = 12288
 
 
-def _res_kernel(distinct_kinds, t_min, kcap, tprune, m_ref, cnt_ref,
-                ent_ref, rays_ref, a_ref, b_ref, k_ref, payt_ref,
-                t_ref, c_ref, payout_ref, tb_ref, cb_ref, pb_ref):
+def _res_kernel(distinct_kinds, t_min, kcap, tprune, when_skip, m_ref,
+                cnt_ref, ent_ref, rays_ref, a_ref, b_ref, k_ref,
+                payt_ref, t_ref, c_ref, payout_ref, tb_ref, cb_ref,
+                pb_ref):
     """One grid step = one ray block; in-kernel loop over its slots.
 
     ``m_ref``: (W,) packed slot words ``cid * 4 + kind`` (one SMEM row
@@ -134,33 +135,58 @@ def _res_kernel(distinct_kinds, t_min, kcap, tprune, m_ref, cnt_ref,
         kconst = k_ref[:, pl.ds(off, GROUP)]  # (8, GROUP)
 
         def finish(tgs, q_domain):
-            gt = jnp.min(tgs, axis=1, keepdims=True)  # (rb, 1)
-            iota = jax.lax.broadcasted_iota(jnp.int32, tgs.shape, 1)
-            gc = jnp.min(
-                jnp.where(tgs <= gt, iota, np.int32(2 ** 30)),
-                axis=1, keepdims=True,
-            )
+            raw_gt = jnp.min(tgs, axis=1, keepdims=True)  # (rb, 1)
             if q_domain:
-                gt = jnp.where(gt >= T_MISS, T_MISS, gt / dnorm)
-            cur = tb_ref[:]
-            gcol = gc + cl * GROUP
-            # strict improvement + lowest-global-column tie-break (the
-            # tie-break is what makes the winner independent of slot
-            # order; in cid-ascending order later slots always have
-            # higher columns, so it changes nothing there)
-            take = (gt < cur) | ((gt == cur) & (gcol < cb_ref[:]))
-            tb_ref[:] = jnp.where(take, gt, cur)
-            cb_ref[:] = jnp.where(take, gcol, cb_ref[:])
-            onehot = (iota == gc).astype(jnp.float32)  # (rb, GROUP)
-            # (rb, GROUP) x (PAY_W, GROUP) contracted over GROUP: the
-            # payload rides VMEM transposed so its minor dim is C (no
-            # 128-lane padding) and slices on the lane axis
-            blk_pay = jax.lax.dot_general(
-                onehot, payt_ref[:, pl.ds(off, GROUP)],
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=hp,
-            )
-            pb_ref[:] = jnp.where(take, blk_pay, pb_ref[:])
+                gt = jnp.where(raw_gt >= T_MISS, T_MISS, raw_gt / dnorm)
+            else:
+                gt = raw_gt
+
+            def epilogue():
+                iota = jax.lax.broadcasted_iota(jnp.int32, tgs.shape, 1)
+                # winning in-group column compared in the RAW t domain
+                # (q-domain gt was rescaled by 1/dnorm)
+                gc = jnp.min(
+                    jnp.where(tgs <= raw_gt, iota, np.int32(2 ** 30)),
+                    axis=1, keepdims=True,
+                )
+                cur = tb_ref[:]
+                gcol = gc + cl * GROUP
+                # strict improvement + lowest-global-column tie-break
+                # (the tie-break is what makes the winner independent
+                # of slot order; in cid-ascending order later slots
+                # always have higher columns, so it changes nothing
+                # there)
+                take = (gt < cur) | ((gt == cur) & (gcol < cb_ref[:]))
+                tb_ref[:] = jnp.where(take, gt, cur)
+                cb_ref[:] = jnp.where(take, gcol, cb_ref[:])
+                onehot = (iota == gc).astype(jnp.float32)  # (rb, GROUP)
+                # (rb, GROUP) x (PAY_W, GROUP) contracted over GROUP:
+                # the payload rides VMEM transposed so its minor dim is
+                # C (no 128-lane padding) and slices on the lane axis
+                blk_pay = jax.lax.dot_general(
+                    onehot, payt_ref[:, pl.ds(off, GROUP)],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=hp,
+                )
+                pb_ref[:] = jnp.where(take, blk_pay, pb_ref[:])
+
+            if when_skip:
+                # per-slot payload/argmin skip (RPT_RES_WHEN=1): when no
+                # lane can improve (every group-min is strictly above
+                # the running best AND above any tie at a lower column —
+                # gt > cur covers both, since a tie needs gt == cur),
+                # the whole epilogue (iota argmin, tie-break, payload
+                # contraction, three scratch writes) is a no-op; skip
+                # it.  Bitwise identical: the guard is exactly
+                # any(take-possible).  The sweep matmuls of the next
+                # slot do not depend on the skipped epilogue, so this
+                # does not serialize the pipeline the way the t-prune
+                # while_loop condition did (DESIGN.md §12).
+                @pl.when(jnp.any(gt <= tb_ref[:]))
+                def _maybe():
+                    epilogue()
+            else:
+                epilogue()
 
         for tk in distinct_kinds:
             @pl.when(kind == tk)
@@ -219,18 +245,18 @@ def _res_kernel(distinct_kinds, t_min, kcap, tprune, m_ref, cnt_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("distinct_kinds", "t_min", "block_rows", "kcap",
-                     "interpret", "tprune"),
+                     "interpret", "tprune", "when_skip"),
 )
 def _closest_hit_resident(rays, a, b, const, payt, meta, counts, ents, *,
                           distinct_kinds, t_min, block_rows, kcap,
-                          interpret, tprune):
+                          interpret, tprune, when_skip=False):
     R8 = rays.shape[0]
     rb = block_rows * 128
     nblocks = R8 // rb
     C = a.shape[2]
 
     kernel = functools.partial(_res_kernel, distinct_kinds, t_min, kcap,
-                               tprune)
+                               tprune, when_skip)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nblocks,),
@@ -299,6 +325,10 @@ def closest_hit_resident(tables: ProjTables, o, d, t_min, interpret=False,
     # §12) — the while-loop's per-slot serialization cancels the
     # skipped sweeps, and compiles run ~17 min vs ~10.  Default OFF.
     tprune = os.environ.get("RPT_RES_TPRUNE", "0") == "1"
+    # per-slot epilogue skip (round-4 VERDICT item 3 / ROADMAP §2):
+    # the VPU epilogue measured ~4x its analytic bound; skipping it on
+    # no-improvement slots is bitwise-free.  Opt-in until measured.
+    when_skip = os.environ.get("RPT_RES_WHEN", "0") == "1"
     meta, ents, far, overflow = build_pair_worklist(
         tables.cluster_bounds, tables.group_kinds, o_p, d_p, t_min, rb,
         kcap, order="entry" if tprune else "cid",
@@ -324,7 +354,7 @@ def closest_hit_resident(tables: ProjTables, o, d, t_min, interpret=False,
             rays, tables.a, tables.b, tables.const, tables.payload.T,
             packed, counts, ents, distinct_kinds=distinct,
             t_min=float(t_min), block_rows=block_rows, kcap=kcap_eff,
-            interpret=interpret, tprune=tprune,
+            interpret=interpret, tprune=tprune, when_skip=when_skip,
         )
 
     if kcap_eff >= G:

@@ -180,7 +180,12 @@ def _run_chunks(plan, first, totals=None):
         if acc is None:
             acc, segments, bounces, occupancy = a, s, b, o
         else:
-            acc = acc + a
+            # donated carry: no other reference holds acc (render.py
+            # _accumulate; the sharded totals resume path passes fresh
+            # device arrays), so the buffer is reused in place
+            from rust_pathtracer_tpu.render import _accumulate
+
+            acc = _accumulate(acc, a)
             segments = segments + s
             bounces = bounces + b  # sum over chunks (matches render.py)
             occupancy = occupancy + o

@@ -201,6 +201,19 @@ def _make_lanes(cam, base_key, pix, sample_offset, *, width, height,
     return lkeys, o, d, in_range
 
 
+# Chunk-loop accumulator with BUFFER DONATION: the loop carry `acc`
+# has no other live reference in _render_frame, so XLA reuses its
+# buffer in place instead of allocating a fresh (npix, 3) array per
+# chunk (SURVEY §5 race/sanitizer slot: donation+aliasing is the JAX
+# analog of the reference's ownership guarantees — tests/
+# test_donation.py asserts the donated input is actually consumed and
+# that results are bitwise unchanged).  NOT used by the checkpointed
+# loop (utils/checkpoint.py): its overflow-recovery rollback keeps
+# `acc_save` referencing an older accumulator, and donation deletes
+# the underlying buffer regardless of outstanding Python references.
+_accumulate = jax.jit(lambda acc, part: acc + part, donate_argnums=(0,))
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -633,6 +646,11 @@ def derive_cascade_schedule_multi(scene, cams, settings, key,
     renderer's overflow guard still protects the poses in between.
     All poses share one compiled probe graph (same shapes).
     """
+    if not cams:
+        raise ValueError(
+            "derive_cascade_schedule_multi: need at least one camera "
+            "pose to probe (got an empty cams list)"
+        )
     bg = jnp.asarray(
         settings.background if background is None else background,
         jnp.float32,
@@ -762,7 +780,7 @@ def _render_frame(scene, cam, settings, key, bg, spp, chunk, *,
                 differentiable=settings.differentiable,
                 remat=settings.remat,
             )
-        acc = acc + part
+        acc = _accumulate(acc, part)
         total_segments = total_segments + stats.segments
         total_bounces = total_bounces + stats.bounces
         total_occ = (

@@ -6,6 +6,21 @@ makes the renderer bitwise reproducible for a fixed configuration, so
 any energy / orientation / texture-phase drift (renderer.rs:21-33
 contract) turns into an exact-array test failure.  Regenerate
 consciously with tools/gen_goldens.py after an intended change.
+
+Regeneration log (why an anchor moved — keep this current so future
+rounds can distinguish intended ulp drift from real regressions):
+
+* round 4 (commit 68b4814): LightTest + TwoSphereCheckers regenerated
+  when RPT_RNG_XS=1 became the default.  Hoisting the per-bounce
+  threefry UNIFORM draws out of the scan changes which fusion context
+  computes the downstream trig transforms, and XLA's vectorization of
+  a transcendental can differ by 1 ulp across fusion contexts; over
+  10+ bounces that flips an occasional discrete decision (hit/miss,
+  absorb) in a handful of lanes.  Max golden drift observed: 1.5e-6.
+  NOT an energy/orientation change — kernel-parity (Pallas == jnp)
+  and the independent f64 oracle tests (tests/test_oracle_parity.py)
+  pinned the estimator through the change; those carry the real
+  correctness weight (DESIGN.md §13 "RNG-hoist trap").
 """
 
 from __future__ import annotations

@@ -349,3 +349,45 @@ def test_fused_bounce_diff_matches_xla_grads(monkeypatch):
     assert np.abs(f0).max() > 0
     scale = np.abs(f0).max()
     np.testing.assert_allclose(f1, f0, rtol=0.05, atol=2e-3 * scale)
+
+
+def test_fused_bounce_bf16_residuals(monkeypatch):
+    """RPT_FBD_RES=bf16 (opt-in): residual planes stored bfloat16.
+    The PRIMAL loss is bitwise the f32-residual loss (residuals only
+    feed the backward); gradients stay within a documented tolerance
+    of the f32-residual gradients (cf. the round-3 compressed_vjp
+    contract, tests/test_grad.py)."""
+    from rust_pathtracer_tpu.grad import (
+        CameraParams,
+        DiffParams,
+        render_loss_and_grad,
+    )
+    from rust_pathtracer_tpu.render import RenderSettings
+
+    scene = _solid_checker_scene()
+    cam = CameraParams.create(
+        (0.0, 1.0, 2.0), (0.0, 0.5, -3.0), (0.0, 1.0, 0.0), 50.0, 1.0
+    )
+    settings = RenderSettings(16, 16, 4, 6, (0.1, 0.2, 0.3))
+    params = DiffParams.from_scene(scene, cam, settings.background)
+    target = jnp.zeros((16, 16, 3))
+
+    monkeypatch.setenv("RPT_FUSED_BOUNCE_DIFF", "1")
+    monkeypatch.setenv("RPT_FB_INTERPRET", "1")
+    jax.clear_caches()
+    loss0, g0 = render_loss_and_grad(params, scene, settings, KEY, target)
+    monkeypatch.setenv("RPT_FBD_RES", "bf16")
+    jax.clear_caches()
+    loss1, g1 = render_loss_and_grad(params, scene, settings, KEY, target)
+    monkeypatch.delenv("RPT_FBD_RES")
+    monkeypatch.delenv("RPT_FB_INTERPRET")
+    jax.clear_caches()
+    # primal identical: residuals are a backward-only artifact
+    np.testing.assert_array_equal(float(loss1), float(loss0))
+    f0, _ = jax.flatten_util.ravel_pytree(g0)
+    f1, _ = jax.flatten_util.ravel_pytree(g1)
+    f0, f1 = np.asarray(f0), np.asarray(f1)
+    assert np.abs(f0).max() > 0
+    scale = np.abs(f0).max()
+    # bf16 rounding of t/normal/value/ratio/invr: ~1e-2 normalized
+    np.testing.assert_allclose(f1, f0, rtol=0.1, atol=2e-2 * scale)

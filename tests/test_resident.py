@@ -113,3 +113,30 @@ def test_resident_matches_worklist_bitwise():
     np.testing.assert_array_equal(np.asarray(h3), np.asarray(h4))
     np.testing.assert_array_equal(np.asarray(t3), np.asarray(t4))
     np.testing.assert_array_equal(np.asarray(p3), np.asarray(p4))
+
+
+def test_resident_when_skip_bitwise(monkeypatch):
+    """Per-slot epilogue skip (RPT_RES_WHEN=1): slots where no lane
+    can improve (every group-min strictly above the running best) skip
+    the argmin + payload contraction entirely — the guard is exactly
+    any(take-possible), so hits/winners/payloads are bitwise identical
+    with the skip on or off."""
+    import jax
+    import jax.numpy as jnp
+
+    scene = _mixed_scene(300, 40, 260, seed=7)
+    tables = _tables(scene)
+    o, d = _rays(4096, seed=23)
+    o = np.asarray(o).copy()
+    o[512:1024] = 3.0e33  # parked (dead) lanes mid-wavefront
+    o = jnp.asarray(o)
+    results = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("RPT_RES_WHEN", flag)
+        jax.clear_caches()
+        results[flag] = closest_hit_resident(tables, o, d, 1e-3,
+                                             interpret=True)
+    monkeypatch.delenv("RPT_RES_WHEN")
+    for a, b in zip(results["1"], results["0"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    jax.clear_caches()

@@ -163,3 +163,43 @@ def test_regen_occupancy_histogram():
     occ_stripe = np.asarray(sc.occupancy)
     assert occ_stripe.sum() == float(sc.segments)
     assert np.abs(occ_stripe - occ_chunked).sum() <= 0.001 * occ_chunked.sum()
+
+
+def test_regen_fused_finished_lane_state_never_consumed(monkeypatch):
+    """The fused kernel commits o/d/thr for lanes that scatter at the
+    depth cap (cont_k true, depth_ok false), unlike the composed branch
+    which leaves finished-lane state untouched.  That is correct ONLY
+    while finished-lane state is never read again (flush consumes
+    rad+work; respawn overwrites) — this test pins that invariant
+    (round-4 ADVICE): with max_bounces=1 EVERY scattering lane is
+    depth-capped, so poisoning the kernel's committed o/d/thr with NaN
+    on every lane must leave the image bitwise unchanged.  Any future
+    flush/debug path that reads finished-lane thr (or o/d) turns the
+    poison into a NaN image here."""
+    import jax.numpy as jnp
+
+    import rust_pathtracer_tpu.ops.fused_bounce as fb
+
+    sd = get_scene("LightTest")
+    scene = sd.build()
+    cam = sd.camera_at(0.0)
+    s = RenderSettings(16, 10, 6, 1, (0.0, 0.0, 0.0))
+    monkeypatch.setenv("RPT_FB_INTERPRET", "1")
+    jax.clear_caches()
+    img0, st0 = render_radiance_regen(scene, cam, s, KEY, lanes=256,
+                                      flush_every=2)
+    real_apply = fb.fused_bounce_apply
+
+    def poisoned_apply(*args, **kwargs):
+        o, d, thr, rad, cont_k = real_apply(*args, **kwargs)
+        nan3 = jnp.full_like(o, jnp.nan)
+        return nan3, nan3, nan3, rad, cont_k
+
+    monkeypatch.setattr(fb, "fused_bounce_apply", poisoned_apply)
+    jax.clear_caches()
+    img1, st1 = render_radiance_regen(scene, cam, s, KEY, lanes=256,
+                                      flush_every=2)
+    monkeypatch.delenv("RPT_FB_INTERPRET")
+    jax.clear_caches()
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+    assert float(st0.segments) == float(st1.segments)
