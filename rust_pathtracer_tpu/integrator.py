@@ -859,6 +859,27 @@ def _trace_fused_cols(scene, origins, directions, lane_keys, background,
             cols = dict(cols, t0=t0, t1=t1, t2=t2, al=al)
         return dict(cols=cols, segments=segments, occupancy=occupancy)
 
+    # whole-scan custom VJP (ops/fused_bounce.fused_scan_trace): ONE
+    # custom_vjp around the entire bounce loop with a hand-written
+    # reversed backward scan — removes jax's scan-transpose machinery
+    # (~10 ms of the round-4 headline step, tools/tpu_fbdecomp.py).
+    # Primal bitwise-identical to the scan below; requires the hoisted
+    # draws (xs).  RPT_FBD_SCAN=jax restores the lax.scan transpose.
+    if (differentiable and draws_all is not None
+            and os.environ.get("RPT_FBD_SCAN", "vjp") == "vjp"):
+        from rust_pathtracer_tpu.ops.fused_bounce import fused_scan_trace
+
+        unroll = int(os.environ.get("RPT_SCAN_UNROLL", "2"))
+        c, segments, occupancy = fused_scan_trace(
+            scene, cols, draws_all, background, T_MIN, max_bounces,
+            rr_start, MAX_BOUNCE_STATS, interpret=interp, unroll=unroll,
+        )
+        rad = jnp.stack([c["r0"], c["r1"], c["r2"]], axis=1)
+        return rad, TraceStats(
+            segments=segments, bounces=jnp.int32(max_bounces),
+            occupancy=occupancy,
+        )
+
     carry0 = dict(cols=cols, segments=zero_scalar, occupancy=occupancy0)
     if differentiable:
         unroll = int(os.environ.get("RPT_SCAN_UNROLL", "2"))

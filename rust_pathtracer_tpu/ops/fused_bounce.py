@@ -853,74 +853,14 @@ def _make_fused_bounce_vjp(kinds, mat_types, tex_types, t_min, interpret):
             return ({k: zr for k in _COL_KEYS}, zr, zr, zr, zr, zr, zr,
                     jnp.zeros_like(packed), jnp.zeros_like(bg))
 
-        R = d[0].shape[0]
         g_o2 = (cots["o0"], cots["o1"], cots["o2"])
         g_d2 = (cots["d0"], cots["d1"], cots["d2"])
         g_thr2 = (cots["t0"], cots["t1"], cots["t2"])
         g_rad2 = (cots["r0"], cots["r1"], cots["r2"])
-
-        flags_l = res["flags"].reshape(-1)[:R]
-        best_i = flags_l >> FLG_BESTI_SHIFT
-        hit = _bit(flags_l, FLG_HIT)
-        cont = _bit(flags_l, FLG_CONT)
-        sines_neg = _bit(flags_l, FLG_SINES_NEG)
-        sel_l = _bit(flags_l, FLG_SEL_L) & cont
-        sel_m = _bit(flags_l, FLG_SEL_M) & cont
-        light_on = _bit(flags_l, FLG_LIGHT_ON)
-        is_ck = _bit(flags_l, FLG_IS_CK)
-        miss = _bit(flags_l, FLG_ALIVE) & ~hit
-
-        if os.environ.get("RPT_FBD_BWD", "pallas") == "pallas":
-            g_o, g_d, g_thr = _bwd_call(
-                res, d, bg, g_o2, g_d2, g_thr2, g_rad2,
-                mat_types=mat_types, interpret=interpret,
-            )
-        else:
-            g_o, g_d, g_thr = _bwd_xla(
-                res, d, bg, g_o2, g_d2, g_thr2, g_rad2, mat_types,
-            )
-
-        # ---- small reductions stay in XLA (fuse with the einsum) -----
-        missf = miss.astype(jnp.float32)
-        g_bg = jnp.stack([
-            jnp.sum(missf * thr[c] * g_rad2[c]) for c in range(3)
-        ])
-        lmf = (sel_l | sel_m).astype(jnp.float32)
-        lonf = light_on.astype(jnp.float32)
-        g_val = [
-            lmf * thr[c] * g_thr2[c] + lonf * thr[c] * g_rad2[c]
-            for c in range(3)
-        ]
-
-        # ---- packed color rows (ONE one-hot MXU contraction) ----------
-        # HIGHEST precision like ops/table.lookup: the one-hot operand
-        # is exact, but the default TPU matmul precision would truncate
-        # g_val to bf16
-        onehot = (
-            (best_i[:, None] == jnp.arange(P, dtype=jnp.int32)[None, :])
-            & hit[:, None]
-        ).astype(jnp.float32)
-        targets = (
-            (PAY_COLOR, hit & ~is_ck),
-            (PAY_ODD, is_ck & sines_neg),
-            (PAY_EVEN, is_ck & ~sines_neg),
+        g_o, g_d, g_thr, gp, g_bg = _bounce_grads(
+            res, d, thr, bg, g_o2, g_d2, g_thr2, g_rad2, packed, P,
+            mat_types, interpret, probe,
         )
-        gp = jnp.zeros_like(packed)
-        if probe != "notex":
-            gv9 = jnp.stack(
-                [g_val[c] * mask.astype(jnp.float32)
-                 for _, mask in targets for c in range(3)], axis=1
-            )                                                 # (R, 9)
-            contrib = jnp.einsum(
-                "rp,rc->pc", onehot, gv9,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )                                                 # (P, 9)
-            for j, (row0, _) in enumerate(targets):
-                gp = gp.at[row0:row0 + 3].add(
-                    contrib[:, 3 * j:3 * j + 3].T
-                )
-
         g_cols = dict(zip(_COL_KEYS, (
             g_o[0], g_o[1], g_o[2], g_d[0], g_d[1], g_d[2],
             g_thr[0], g_thr[1], g_thr[2],
@@ -930,6 +870,76 @@ def _make_fused_bounce_vjp(kinds, mat_types, tex_types, t_min, interpret):
 
     bounce.defvjp(fwd, bwd)
     return bounce
+
+
+def _bounce_grads(res, d, thr, bg, g_o2, g_d2, g_thr2, g_rad2, packed,
+                  P, mat_types, interpret, probe=""):
+    """One bounce's closed-form input cotangents, shared by the
+    per-bounce custom VJP and the whole-scan VJP (fused_scan_trace):
+    (g_o, g_d, g_thr column triples, d_packed, d_bg)."""
+    R = d[0].shape[0]
+    flags_l = res["flags"].reshape(-1)[:R]
+    best_i = flags_l >> FLG_BESTI_SHIFT
+    hit = _bit(flags_l, FLG_HIT)
+    cont = _bit(flags_l, FLG_CONT)
+    sines_neg = _bit(flags_l, FLG_SINES_NEG)
+    sel_l = _bit(flags_l, FLG_SEL_L) & cont
+    sel_m = _bit(flags_l, FLG_SEL_M) & cont
+    light_on = _bit(flags_l, FLG_LIGHT_ON)
+    is_ck = _bit(flags_l, FLG_IS_CK)
+    miss = _bit(flags_l, FLG_ALIVE) & ~hit
+
+    if os.environ.get("RPT_FBD_BWD", "pallas") == "pallas":
+        g_o, g_d, g_thr = _bwd_call(
+            res, d, bg, g_o2, g_d2, g_thr2, g_rad2,
+            mat_types=mat_types, interpret=interpret,
+        )
+    else:
+        g_o, g_d, g_thr = _bwd_xla(
+            res, d, bg, g_o2, g_d2, g_thr2, g_rad2, mat_types,
+        )
+
+    # ---- small reductions stay in XLA (fuse with the einsum) -----
+    missf = miss.astype(jnp.float32)
+    g_bg = jnp.stack([
+        jnp.sum(missf * thr[c] * g_rad2[c]) for c in range(3)
+    ])
+    lmf = (sel_l | sel_m).astype(jnp.float32)
+    lonf = light_on.astype(jnp.float32)
+    g_val = [
+        lmf * thr[c] * g_thr2[c] + lonf * thr[c] * g_rad2[c]
+        for c in range(3)
+    ]
+
+    # ---- packed color rows (ONE one-hot MXU contraction) ----------
+    # HIGHEST precision like ops/table.lookup: the one-hot operand
+    # is exact, but the default TPU matmul precision would truncate
+    # g_val to bf16
+    onehot = (
+        (best_i[:, None] == jnp.arange(P, dtype=jnp.int32)[None, :])
+        & hit[:, None]
+    ).astype(jnp.float32)
+    targets = (
+        (PAY_COLOR, hit & ~is_ck),
+        (PAY_ODD, is_ck & sines_neg),
+        (PAY_EVEN, is_ck & ~sines_neg),
+    )
+    gp = jnp.zeros_like(packed)
+    if probe != "notex":
+        gv9 = jnp.stack(
+            [g_val[c] * mask.astype(jnp.float32)
+             for _, mask in targets for c in range(3)], axis=1
+        )                                                 # (R, 9)
+        contrib = jnp.einsum(
+            "rp,rc->pc", onehot, gv9,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                 # (P, 9)
+        for j, (row0, _) in enumerate(targets):
+            gp = gp.at[row0:row0 + 3].add(
+                contrib[:, 3 * j:3 * j + 3].T
+            )
+    return g_o, g_d, g_thr, gp, g_bg
 
 
 def _bit(flags, b):
@@ -1132,3 +1142,191 @@ def fused_bounce_diff_apply(scene, o, d, thr, rad, alive, sphere_u,
         jnp.stack([c["r0"], c["r1"], c["r2"]], 1),
         c["al"] > 0.5,
     )
+
+
+# ---------------------------------------------------------------------------
+# whole-scan custom VJP: hand-rolled backward loop over ALL bounces
+# ---------------------------------------------------------------------------
+#
+# The per-bounce custom VJP (above) still leaves the BACKWARD SCHEDULE
+# to jax's lax.scan transpose: per bounce it re-marshals 13 cotangent
+# columns through the scan carry, saves/restores the closure residuals,
+# transposes the roulette lax.cond, and stacks zero cotangents for the
+# hoisted uniform xs.  Measured round 5 (tools/tpu_fbdecomp.py,
+# CornellBox 512^2 bench step): diff fwd 34.2 ms but probe_zero (bwd
+# returns zeros immediately) is 44.5 ms — ~10 ms of pure machinery —
+# and the full step is 67.6 ms.  This VJP replaces the whole
+# scan-of-custom-vjps with ONE custom_vjp around the entire bounce
+# loop: the forward is the same fused-kernel scan (bitwise-identical
+# primal, incl. roulette and stats), the backward is a hand-written
+# reversed lax.scan whose carry is exactly (13 cotangent columns,
+# d_packed, d_bg) and whose per-bounce body is the shared closed-form
+# _bounce_grads + an unconditional roulette transpose (the identity
+# branch saved p=1/act=0, so where(act, 1/p, 1) covers both branches
+# with no lax.cond).  Stats (segments/occupancy) are detached — same
+# effective gradients as the AD path, where their cotangents die at
+# the discrete alive chain.  RPT_FBD_SCAN=jax restores the lax.scan
+# transpose path.
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_scan_vjp(kinds, mat_types, tex_types, t_min, interpret,
+                         max_bounces, rr_start, stats_slots, unroll):
+    P = len(kinds)
+    has_rr = rr_start < max_bounces
+
+    def run_kernel(cols, su0, su1, bu0, bu1, bu2, cn, packed, bg,
+                   want_res):
+        seed = jnp.zeros((1,), jnp.uint32)  # perlin is gated out here
+        return _fused_bounce_cols(
+            packed, bg, seed, cols, su0, su1, bu0, bu1, bu2, cn,
+            kinds=kinds, mat_types=mat_types, tex_types=tex_types,
+            t_min=t_min, interpret=interpret, want_residuals=want_res,
+        )
+
+    def fwd_body(carry, x, packed, bg, want_res):
+        cols, seg, occ = carry
+        sgf = jax.lax.stop_gradient
+        n_alive = jnp.sum(sgf(cols["al"]))
+        seg = seg + n_alive
+        occ = jax.lax.dynamic_update_slice(
+            occ, n_alive[None],
+            (jnp.minimum(x["b"], stats_slots - 1),),
+        )
+        su, bu, cn = x["sphere_u"], x["ball_u"], x["coin"]
+        d_in = (cols["d0"], cols["d1"], cols["d2"])
+        thr_in = (cols["t0"], cols["t1"], cols["t2"])
+        out = run_kernel(cols, su[:, 0], su[:, 1], bu[:, 0], bu[:, 1],
+                         bu[:, 2], cn, packed, bg, want_res)
+        cols2, res = out if want_res else (out, None)
+
+        # roulette: op-for-op integrator._trace_fused_cols.bounce_body
+        # (same max tree, same division, same cond) + (p, act) saved so
+        # the transpose needs no cond: identity saves p=1, act=0
+        def roulette(args):
+            t0, t1, t2, al = args
+            p = jnp.clip(
+                jnp.maximum(jnp.maximum(sgf(t0), sgf(t1)), sgf(t2)),
+                0.05, 1.0,
+            )
+            u = x["roulette"]
+            act = (al > 0.5) & (u < p)
+            t0 = jnp.where(act, t0 / p, t0)
+            t1 = jnp.where(act, t1 / p, t1)
+            t2 = jnp.where(act, t2 / p, t2)
+            al = jnp.where(al > 0.5, act.astype(jnp.float32), al)
+            return t0, t1, t2, al, p, act.astype(jnp.float32)
+
+        def ident(args):
+            t0, t1, t2, al = args
+            return (t0, t1, t2, al, jnp.ones_like(t0),
+                    jnp.zeros_like(t0))
+
+        if has_rr:
+            t0, t1, t2, al, p, actf = jax.lax.cond(
+                x["b"] >= rr_start, roulette, ident,
+                (cols2["t0"], cols2["t1"], cols2["t2"], cols2["al"]),
+            )
+            cols2 = dict(cols2, t0=t0, t1=t1, t2=t2, al=al)
+        ys = None
+        if want_res:
+            ys = dict(res)
+            ys.update(d0=d_in[0], d1=d_in[1], d2=d_in[2],
+                      ti0=thr_in[0], ti1=thr_in[1], ti2=thr_in[2])
+            if has_rr:
+                ys.update(rp=p, ract=actf)
+        return (cols2, seg, occ), ys
+
+    def run_scan(cols0, packed, bg, draws, want_res):
+        zero_scalar = jnp.sum(cols0["o0"] * 0.0)
+        occ0 = zero_scalar + jnp.zeros((stats_slots,), jnp.float32)
+        xs = dict(draws)
+        xs["b"] = jnp.arange(max_bounces, dtype=jnp.int32)
+        (colsF, seg, occ), ys = jax.lax.scan(
+            lambda c, x: fwd_body(c, x, packed, bg, want_res),
+            (cols0, zero_scalar, occ0), xs, unroll=unroll,
+        )
+        return (colsF, seg, occ), ys
+
+    @jax.custom_vjp
+    def scan_all(cols0, packed, bg, draws):
+        out, _ = run_scan(cols0, packed, bg, draws, False)
+        return out
+
+    def scan_fwd(cols0, packed, bg, draws):
+        out, ys = run_scan(cols0, packed, bg, draws, True)
+        return out, (ys, packed, bg, draws)
+
+    def scan_bwd(saved, cots):
+        ys, packed, bg, draws = saved
+        g_colsF, _g_seg, _g_occ = cots  # stats are detached
+        zr = jnp.zeros_like(ys["d0"][0])
+        g_draws = jax.tree_util.tree_map(jnp.zeros_like, draws)
+
+        probe = os.environ.get("RPT_FBD_PROBE", "")
+        if probe == "zero":
+            return ({k: zr for k in _COL_KEYS}, jnp.zeros_like(packed),
+                    jnp.zeros_like(bg), g_draws)
+
+        def body(carry, y):
+            g, gp, gbg = carry
+            if has_rr:
+                # transpose of thr' = where(act, thr/p, thr): g/p on
+                # act lanes — division, not 1/p-then-multiply, so the
+                # rounding matches jax's divide transpose exactly
+                act = y["ract"] > 0.5
+                gt = tuple(
+                    jnp.where(act, g[k] / y["rp"], g[k])
+                    for k in ("t0", "t1", "t2")
+                )
+            else:
+                gt = (g["t0"], g["t1"], g["t2"])
+            res_b = {k: y[k] for k in _RES_KEYS}
+            d_b = (y["d0"], y["d1"], y["d2"])
+            thr_b = (y["ti0"], y["ti1"], y["ti2"])
+            g_o2 = (g["o0"], g["o1"], g["o2"])
+            g_d2 = (g["d0"], g["d1"], g["d2"])
+            g_rad2 = (g["r0"], g["r1"], g["r2"])
+            g_o, g_d, g_thr, gp_b, gbg_b = _bounce_grads(
+                res_b, d_b, thr_b, bg, g_o2, g_d2, gt, g_rad2, packed,
+                P, mat_types, interpret, probe,
+            )
+            g2 = dict(
+                g, o0=g_o[0], o1=g_o[1], o2=g_o[2],
+                d0=g_d[0], d1=g_d[1], d2=g_d[2],
+                t0=g_thr[0], t1=g_thr[1], t2=g_thr[2],
+            )  # rad cotangent passes through; al stays zero
+            return (g2, gp + gp_b, gbg + gbg_b), None
+
+        g0 = {k: g_colsF[k] for k in _COL_KEYS}
+        g0["al"] = zr
+        (gI, gp, gbg), _ = jax.lax.scan(
+            body, (g0, jnp.zeros_like(packed), jnp.zeros_like(bg)), ys,
+            reverse=True, unroll=unroll,
+        )
+        return (gI, gp, gbg, g_draws)
+
+    scan_all.defvjp(scan_fwd, scan_bwd)
+    return scan_all
+
+
+def fused_scan_trace(scene, cols, draws_all, background, t_min,
+                     max_bounces, rr_start, stats_slots,
+                     interpret=False, unroll=2):
+    """Differentiable whole-scan trace for fused-diff scenes.
+
+    ``cols``: 13-column state dict (_COL_KEYS); ``draws_all``: the
+    hoisted uniform draws from integrator._precompute_draws (REQUIRED —
+    the scan consumes them as xs).  Returns (cols_final, segments,
+    occupancy).  Primal is bitwise the _trace_fused_cols scan body;
+    gradients flow to cols/scene.textures.color (via packed)/background
+    with the same detached-sampling estimator as the per-bounce VJP.
+    """
+    packed = pack_prims_shaded(scene)
+    bg = jnp.asarray(background, jnp.float32)
+    scan_all = _make_fused_scan_vjp(
+        scene.kinds_static, scene.mat_types, scene.tex_types,
+        float(t_min), bool(interpret), int(max_bounces), int(rr_start),
+        int(stats_slots), int(unroll),
+    )
+    return scan_all(cols, packed, bg, dict(draws_all))

@@ -391,3 +391,46 @@ def test_fused_bounce_bf16_residuals(monkeypatch):
     scale = np.abs(f0).max()
     # bf16 rounding of t/normal/value/ratio/invr: ~1e-2 normalized
     np.testing.assert_allclose(f1, f0, rtol=0.1, atol=2e-2 * scale)
+
+
+@pytest.mark.parametrize("rr", [None, 4])
+def test_fused_scan_vjp_matches_jax_transpose(monkeypatch, rr):
+    """Whole-scan custom VJP (RPT_FBD_SCAN=vjp, the default) vs jax's
+    lax.scan transpose over the per-bounce VJP (=jax): the primal loss
+    is BITWISE identical (same kernel scan, incl. roulette + stats)
+    and gradients agree to ulp-level accumulation noise (the roulette
+    cond transpose and carry marshalling round differently)."""
+    from rust_pathtracer_tpu.grad import (
+        CameraParams,
+        DiffParams,
+        render_loss_and_grad,
+    )
+    from rust_pathtracer_tpu.render import RenderSettings
+
+    sd = get_scene("CornellBox")
+    scene = sd.build()
+    cam = CameraParams.create(
+        (278.0, 278.0, -800.0), (278.0, 278.0, 0.0), (0.0, 1.0, 0.0),
+        40.0, 1.0, 0.0, 10.0,
+    )
+    settings = RenderSettings(16, 16, 4, 8, (0.5, 0.5, 0.5), spp_chunk=4,
+                              differentiable=True,
+                              russian_roulette_start=rr)
+    params = DiffParams.from_scene(scene, cam, settings.background)
+    target = jnp.zeros((16, 16, 3))
+    monkeypatch.setenv("RPT_FB_INTERPRET", "1")
+    monkeypatch.setenv("RPT_FBD_SCAN", "jax")
+    jax.clear_caches()
+    l0, g0 = render_loss_and_grad(params, scene, settings, KEY, target)
+    monkeypatch.setenv("RPT_FBD_SCAN", "vjp")
+    jax.clear_caches()
+    l1, g1 = render_loss_and_grad(params, scene, settings, KEY, target)
+    monkeypatch.delenv("RPT_FB_INTERPRET")
+    jax.clear_caches()
+    assert float(l0) == float(l1)
+    f0, _ = jax.flatten_util.ravel_pytree(g0)
+    f1, _ = jax.flatten_util.ravel_pytree(g1)
+    f0, f1 = np.asarray(f0), np.asarray(f1)
+    assert np.abs(f0).max() > 0
+    np.testing.assert_allclose(f1, f0, rtol=1e-4,
+                               atol=1e-5 * np.abs(f0).max())
