@@ -930,11 +930,23 @@ def _bounce_grads(res, d, thr, bg, g_o2, g_d2, g_thr2, g_rad2, packed,
             [g_val[c] * mask.astype(jnp.float32)
              for _, mask in targets for c in range(3)], axis=1
         )                                                 # (R, 9)
-        contrib = jnp.einsum(
-            "rp,rc->pc", onehot, gv9,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                                 # (P, 9)
+        # RPT_FBD_RES=bf16 extends the residual-accuracy contract to
+        # the texture-grad contraction: bf16 operands halve the
+        # (R, P) one-hot + (R, 9) materialization traffic (the one-hot
+        # is exact in bf16; gv9 rounds — same ~1e-2 normalized class
+        # as the bf16 residual planes)
+        if _res_dtype() == jnp.bfloat16:
+            contrib = jnp.einsum(
+                "rp,rc->pc", onehot.astype(jnp.bfloat16),
+                gv9.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.float32)
+        else:
+            contrib = jnp.einsum(
+                "rp,rc->pc", onehot, gv9,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                             # (P, 9)
         for j, (row0, _) in enumerate(targets):
             gp = gp.at[row0:row0 + 3].add(
                 contrib[:, 3 * j:3 * j + 3].T

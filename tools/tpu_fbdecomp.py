@@ -37,6 +37,9 @@ CONFIGS = {
     "split_t": {"RPT_SCAN_SPLIT_T": "1"},
     # bf16 residual planes (kernel-rounded, backward upcasts)
     "res_bf16": {"RPT_FBD_RES": "bf16"},
+    # whole-scan custom VJP A/B (round 5): "base" runs the default
+    # (RPT_FBD_SCAN=vjp); scan_jax restores the lax.scan transpose
+    "scan_jax": {"RPT_FBD_SCAN": "jax"},
 }
 
 
