@@ -145,11 +145,12 @@ def main():
         f" stages={rl['stages']}",
         file=sys.stderr,
     )
-    # Structural floor (DESIGN.md §10, all measured on this chip):
-    # nondiff while_loop forward 53.8 ms + residual round-trip ~6 ms
-    # (2.47 GB at 820 GB/s) + transposed shading sweep 26.8 ms.  Every
-    # structural lever tried against the remainder (cond-skip, 3 remat
-    # policies, 4 static-cascade schedules) measured SLOWER.
+    # Historical "structural floor" (round 2, DESIGN.md §10): nondiff
+    # while_loop forward 53.8 ms + residual round-trip ~6 ms +
+    # transposed shading sweep 26.8 ms = 86.6.  Kept CONSTANT as the
+    # continuity anchor: floor_fraction > 1 measures how far the
+    # fused-bounce family (§13) + whole-scan VJP + 32-row blocks (§14)
+    # have pushed past what round 2 argued was structural.
     floor_ms = 53.8 + 6.0 + 26.8
     print(
         json.dumps(

@@ -869,7 +869,7 @@ def _trace_fused_cols(scene, origins, directions, lane_keys, background,
             and os.environ.get("RPT_FBD_SCAN", "vjp") == "vjp"):
         from rust_pathtracer_tpu.ops.fused_bounce import fused_scan_trace
 
-        unroll = int(os.environ.get("RPT_SCAN_UNROLL", "2"))
+        unroll = int(os.environ.get("RPT_SCAN_UNROLL", "4"))
         c, segments, occupancy = fused_scan_trace(
             scene, cols, draws_all, background, T_MIN, max_bounces,
             rr_start, MAX_BOUNCE_STATS, interpret=interp, unroll=unroll,
@@ -882,7 +882,7 @@ def _trace_fused_cols(scene, origins, directions, lane_keys, background,
 
     carry0 = dict(cols=cols, segments=zero_scalar, occupancy=occupancy0)
     if differentiable:
-        unroll = int(os.environ.get("RPT_SCAN_UNROLL", "2"))
+        unroll = int(os.environ.get("RPT_SCAN_UNROLL", "4"))
         split_t = os.environ.get("RPT_SCAN_SPLIT_T", "0") == "1"
         bidx = jnp.arange(max_bounces, dtype=jnp.int32)
         if draws_all is not None:
@@ -1068,7 +1068,7 @@ def trace(
             # Measured v5e CornellBox bench: unroll=2 87.6 -> 83.2 ms
             # fwd+bwd; unroll=4 regressed to 93.5 ms.  RPT_SCAN_UNROLL
             # overrides (trace-time env).
-            unroll = int(os.environ.get("RPT_SCAN_UNROLL", "2"))
+            unroll = int(os.environ.get("RPT_SCAN_UNROLL", "4"))
             # RPT_SCAN_SPLIT_T=1: lax.scan's experimental transpose
             # split (backward as two passes) — probe knob
             split_t = os.environ.get("RPT_SCAN_SPLIT_T", "0") == "1"

@@ -72,7 +72,12 @@ from rust_pathtracer_tpu.vecmath import _SAFE_EPS, NEAR_ZERO
 
 _RECT_FREE = {0: (1, 2), 1: (0, 2), 2: (0, 1)}
 
-BLOCK_ROWS = int(os.environ.get("RPT_FB_BLOCK_ROWS", "8"))
+# 32-row blocks (4096 lanes/step): measured round 5 on the v5e bench
+# step (tools/tpu_fbdecomp.py batch C/D) — 8-row blocks moved only
+# ~4 KB per plane per grid step and were DMA-issue-bound: fwd+bwd
+# 60.5 -> 55.3 ms, nondiff fwd 30.9 -> 26.9.  fb16 57.7 / fb64 55.6 /
+# fb128 56.5 — 32 is the sweet spot.
+BLOCK_ROWS = int(os.environ.get("RPT_FB_BLOCK_ROWS", "32"))
 
 
 def fused_bounce_ok(scene) -> bool:
@@ -968,16 +973,28 @@ def _bwd_call(res, d, bg, g_o2, g_d2, g_thr2, g_rad2, *,
     """Dispatch the transposed-shading Pallas kernel: planed residuals
     + column cotangents in, (g_o, g_d, g_thr) column triples out.
     ``d`` and the cotangents are 3-tuples of (R,) columns — every
-    reshape here is contiguous."""
+    reshape here is contiguous.
+
+    Block size: the kernel is pure elementwise chains over 34 planes,
+    so at the forward kernel's 8-row blocks each grid step moves only
+    ~136 KB — DMA-issue-bound, not compute-bound.  RPT_FBD_BWD_ROWS
+    (default 64) uses taller blocks for the backward only (the
+    forward's block is tied to the sweep's VMEM working set); clamped
+    to the largest divisor of the plane height.
+    """
     rows = res["t"].shape[0]
     R = d[0].shape[0]
 
     ins = [res[k] for k in _RES_KEYS]
     for v in (d, g_o2, g_d2, g_thr2, g_rad2):
         ins.extend(_plane(c, R) for c in v)
-    grid = (rows // BLOCK_ROWS,)
+    want = int(os.environ.get("RPT_FBD_BWD_ROWS", "64"))
+    nbr = max(BLOCK_ROWS, min(want, rows))
+    while rows % nbr:
+        nbr -= BLOCK_ROWS
+    grid = (rows // nbr,)
     ray_spec = pl.BlockSpec(
-        (BLOCK_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (nbr, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     vma = jax.typeof(d[0]).vma
     f32 = jax.ShapeDtypeStruct((rows, 128), jnp.float32, vma=vma)

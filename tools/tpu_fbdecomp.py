@@ -40,6 +40,17 @@ CONFIGS = {
     # whole-scan custom VJP A/B (round 5): "base" runs the default
     # (RPT_FBD_SCAN=vjp); scan_jax restores the lax.scan transpose
     "scan_jax": {"RPT_FBD_SCAN": "jax"},
+    # backward-kernel block height (DMA-issue-bound at 8 rows)
+    "bwd8": {"RPT_FBD_BWD_ROWS": "8"},
+    "bwd128": {"RPT_FBD_BWD_ROWS": "128"},
+    # whole-pipeline plane block height (fwd sweep working set)
+    "fb16": {"RPT_FB_BLOCK_ROWS": "16"},
+    "fb32": {"RPT_FB_BLOCK_ROWS": "32"},
+    "fb64": {"RPT_FB_BLOCK_ROWS": "64"},
+    "fb128": {"RPT_FB_BLOCK_ROWS": "128"},
+    "fb32_bf16": {"RPT_FB_BLOCK_ROWS": "32", "RPT_FBD_RES": "bf16"},
+    "fb32_u4": {"RPT_FB_BLOCK_ROWS": "32", "RPT_SCAN_UNROLL": "4"},
+    "fb32_nondiff": {"RPT_FB_BLOCK_ROWS": "32"},
 }
 
 
@@ -63,7 +74,7 @@ def main():
     settings = RenderSettings(
         width=512, height=512, samples_per_pixel=4, max_bounces=20,
         background=(0.0, 0.0, 0.0), spp_chunk=4,
-        differentiable=(name != "nondiff"),
+        differentiable=(name not in ("nondiff", "fb32_nondiff")),
     )
     cam_params = CameraParams.create(
         (278.0, 278.0, -800.0), (278.0, 278.0, 0.0), (0.0, 1.0, 0.0),
@@ -84,7 +95,7 @@ def main():
     # device->host fetch at the end of the batch (block_until_ready is
     # unreliable over the axon tunnel; per-rep fetches would add
     # tunnel latency to every rep)
-    if name in ("fwdonly", "nondiff"):
+    if name in ("fwdonly", "nondiff", "fb32_nondiff"):
         step = jax.jit(loss_and_segments)
 
         def batch(reps):
