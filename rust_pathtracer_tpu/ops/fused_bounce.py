@@ -947,10 +947,21 @@ def _bounce_grads(res, d, thr, bg, g_o2, g_d2, g_thr2, g_rad2, packed,
                 preferred_element_type=jnp.float32,
             ).astype(jnp.float32)
         else:
+            # Precision.HIGH (3-pass) not HIGHEST (6-pass): the bf16
+            # triple-split represents each f32 operand EXACTLY (one-hot
+            # entries are 0/1; gv9's 24 mantissa bits fit 3 bf16
+            # passes), so per-term products are exact and only the f32
+            # accumulation order differs — same accuracy class, half
+            # the MXU passes on a contraction whose cost is pure
+            # padding (P=18 -> 128, C=9 -> 128 tiles).
+            # RPT_FBD_EINSUM=highest restores the 6-pass version.
+            prec = (jax.lax.Precision.HIGHEST
+                    if os.environ.get("RPT_FBD_EINSUM") == "highest"
+                    else jax.lax.Precision.HIGH)
             contrib = jnp.einsum(
                 "rp,rc->pc", onehot, gv9,
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=prec,
             )                                             # (P, 9)
         for j, (row0, _) in enumerate(targets):
             gp = gp.at[row0:row0 + 3].add(
