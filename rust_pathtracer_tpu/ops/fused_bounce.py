@@ -871,7 +871,9 @@ def _make_fused_bounce_vjp(kinds, mat_types, tex_types, t_min, interpret):
             g_thr[0], g_thr[1], g_thr[2],
             g_rad2[0], g_rad2[1], g_rad2[2], zr,
         )))
-        return (g_cols, zr, zr, zr, zr, zr, zr, gp, g_bg)
+        return (g_cols, zr, zr, zr, zr, zr, zr,
+                _psum_to_replicated(gp, packed),
+                _psum_to_replicated(g_bg, bg))
 
     bounce.defvjp(fwd, bwd)
     return bounce
@@ -972,6 +974,23 @@ def _bounce_grads(res, d, thr, bg, g_o2, g_d2, g_thr2, g_rad2, packed,
 
 def _bit(flags, b):
     return (flags & b) != 0
+
+
+def _psum_to_replicated(g, primal):
+    """Collapse a shard-VARYING cotangent onto a REPLICATED primal.
+
+    Under shard_map with check_vma (the default), a custom_vjp's bwd
+    must EXPLICITLY psum the per-shard partial gradients of a
+    replicated input (packed table, background) — jax's shard_map
+    transpose no longer inserts the collective for custom VJPs, it
+    type-checks that the returned cotangent's varying-axes set matches
+    the input's.  The psum set is derived from the vma types, so this
+    is a no-op outside shard_map and exact inside (the replicated
+    gradient IS the sum of shard partials, same as jax inserts for
+    non-custom primitives)."""
+    want = set(jax.typeof(primal).vma)
+    extra = tuple(sorted(set(jax.typeof(g).vma) - want))
+    return jax.lax.psum(g, extra) if extra else g
 
 
 _RES_KEYS = ("t", "nx", "ny", "nz", "v0", "v1", "v2", "ratio", "invr",
@@ -1301,12 +1320,22 @@ def _make_fused_scan_vjp(kinds, mat_types, tex_types, t_min, interpret,
         ys, packed, bg, draws = saved
         g_colsF, _g_seg, _g_occ = cots  # stats are detached
         zr = jnp.zeros_like(ys["d0"][0])
-        g_draws = jax.tree_util.tree_map(jnp.zeros_like, draws)
+        # varying-zero scalar: under shard_map (check_vma) the carry's
+        # d_packed/d_bg accumulators and the returned draw cotangents
+        # must carry the shard-VARYING type their per-bounce updates
+        # have — deriving the zero from ys (per-shard data) gives it
+        # the right vma; adds exact 0.0 otherwise (same pattern as
+        # integrator's zero_scalar)
+        zs = jnp.sum(zr)
+        g_draws = jax.tree_util.tree_map(
+            lambda a: jnp.zeros_like(a) + zs, draws
+        )
 
         probe = os.environ.get("RPT_FBD_PROBE", "")
         if probe == "zero":
-            return ({k: zr for k in _COL_KEYS}, jnp.zeros_like(packed),
-                    jnp.zeros_like(bg), g_draws)
+            return ({k: zr for k in _COL_KEYS},
+                    jnp.zeros_like(packed), jnp.zeros_like(bg),
+                    g_draws)
 
         def body(carry, y):
             g, gp, gbg = carry
@@ -1341,10 +1370,12 @@ def _make_fused_scan_vjp(kinds, mat_types, tex_types, t_min, interpret,
         g0 = {k: g_colsF[k] for k in _COL_KEYS}
         g0["al"] = zr
         (gI, gp, gbg), _ = jax.lax.scan(
-            body, (g0, jnp.zeros_like(packed), jnp.zeros_like(bg)), ys,
-            reverse=True, unroll=unroll,
+            body,
+            (g0, jnp.zeros_like(packed) + zs, jnp.zeros_like(bg) + zs),
+            ys, reverse=True, unroll=unroll,
         )
-        return (gI, gp, gbg, g_draws)
+        return (gI, _psum_to_replicated(gp, packed),
+                _psum_to_replicated(gbg, bg), g_draws)
 
     scan_all.defvjp(scan_fwd, scan_bwd)
     return scan_all

