@@ -141,3 +141,37 @@ def test_sharded_cascade_overflow_raises(cornell):
 # found and fixed that way (non-varying backward-scan carry;
 # un-psummed cotangents for the replicated packed table/background —
 # ops/fused_bounce._psum_to_replicated).
+
+
+def test_psum_to_replicated_helper():
+    """ops/fused_bounce._psum_to_replicated: inside shard_map it must
+    collapse a shard-varying cotangent onto a replicated primal by an
+    explicit psum (sum of shard partials, vma becomes replicated);
+    outside shard_map it is an exact no-op."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from rust_pathtracer_tpu.ops.fused_bounce import _psum_to_replicated
+
+    mesh = make_mesh(tiles=4, samples=2)
+    primal = jnp.ones((3,))  # replicated "packed"-like input
+
+    def body(x):
+        # x: per-shard (varying) data; per-shard partial "gradient"
+        partial = jnp.sum(x) * jnp.ones((3,))
+        g = _psum_to_replicated(partial, primal)
+        assert not jax.typeof(g).vma, jax.typeof(g)
+        return g
+
+    x = jnp.arange(8.0)
+    out = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=P("tiles"), out_specs=P()
+    ))(x)
+    # sum over shards of (per-shard sum) = total sum
+    np.testing.assert_allclose(np.asarray(out), np.full(3, x.sum()))
+
+    # outside shard_map: no mesh axes -> no psum, value unchanged
+    y = jnp.array([1.0, 2.0, 3.0])
+    np.testing.assert_array_equal(
+        np.asarray(_psum_to_replicated(y, primal)), np.asarray(y)
+    )
