@@ -426,6 +426,30 @@ def _precompute_draws(lane_keys, max_bounces, rr_start, start_bounce=0):
     (bounce - start_bounce); roulette only when it can fire.
     """
     sg = jax.lax.stop_gradient
+    rr = rr_start < max_bounces
+
+    import os
+
+    if os.environ.get("RPT_RNG_SCHEME", "legacy") == "packed":
+        # counter-mode packed draws: 4 threefry blocks per lane-bounce
+        # instead of ~5.3 block-equivalents of per-purpose fold chains
+        # — measured 16.6 -> 12.6 ms for 20 x 1M draws on v5e (the RNG
+        # was ~60% of the nondiff forward; DESIGN.md §14)
+        b = jnp.arange(start_bounce, max_bounces, dtype=jnp.uint32)
+        su, bu, cn, rl = sampling.scatter_uniforms(
+            lane_keys, b[:, None], rr
+        )
+        out = dict(sphere_u=sg(su), ball_u=sg(bu), coin=sg(cn))
+        if rr:
+            out["roulette"] = sg(rl)
+        # pin the hoist: without the barrier XLA rematerializes the
+        # (cheap-looking) counter-mode threefry INTO the while_loop
+        # body, recomputing draws per bounce (measured +2.2 ms on the
+        # nondiff step while the hoisted form is 2 ms cheaper
+        # standalone)
+        if os.environ.get("RPT_RNG_BARRIER", "1") == "1":
+            out = jax.lax.optimization_barrier(out)
+        return out
 
     def draws_for(b):
         out = dict(
@@ -436,7 +460,7 @@ def _precompute_draws(lane_keys, max_bounces, rr_start, start_bounce=0):
             coin=sg(sampling.uniform(
                 sampling.bounce_keys(lane_keys, b, sampling.P_SCHLICK))),
         )
-        if rr_start < max_bounces:
+        if rr:
             out["roulette"] = sg(sampling.uniform(
                 sampling.bounce_keys(lane_keys, b, sampling.P_ROULETTE)))
         return out
@@ -488,12 +512,9 @@ def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
                 draws["sphere_u"], draws["ball_u"], draws["coin"]
             )
         else:
-            sphere_u = sg(sampling.uniform2(
-                sampling.bounce_keys(lane_keys, bounce, sampling.P_LAMBERT)))
-            ball_u = sg(sampling.uniform3(
-                sampling.bounce_keys(lane_keys, bounce, sampling.P_FUZZ)))
-            coin = sg(sampling.uniform(
-                sampling.bounce_keys(lane_keys, bounce, sampling.P_SCHLICK)))
+            su_, bu_, cn_, _ = sampling.bounce_draws(lane_keys, bounce,
+                                                     False)
+            sphere_u, ball_u, coin = sg(su_), sg(bu_), sg(cn_)
         apply_fn = fused_bounce_diff_apply if use_fbd else fused_bounce_apply
         o, d, thr, rad, alive = apply_fn(
             scene, o, d, thr, rad, alive, sphere_u, ball_u, coin,
@@ -506,9 +527,8 @@ def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
                 jnp.max(jax.lax.stop_gradient(thr), axis=-1), 0.05, 1.0
             )
             has_rr = draws is not None and "roulette" in draws
-            u = draws["roulette"] if has_rr else sampling.uniform(
-                sampling.bounce_keys(lane_keys, bounce, sampling.P_ROULETTE)
-            )
+            u = (draws["roulette"] if has_rr
+                 else sampling.bounce_draws(lane_keys, bounce, True)[3])
             survive = u < p
             thr = jnp.where((alive & survive)[..., None],
                             thr / p[..., None], thr)
@@ -564,15 +584,10 @@ def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
         ball_dir = sampling.in_unit_sphere_from_u(draws["ball_u"])
         coin = draws["coin"]
     else:
-        sphere_dir = sg(sampling.on_unit_sphere(
-            sampling.bounce_keys(lane_keys, bounce, sampling.P_LAMBERT)
-        ))
-        ball_dir = sg(sampling.in_unit_sphere(
-            sampling.bounce_keys(lane_keys, bounce, sampling.P_FUZZ)
-        ))
-        coin = sg(sampling.uniform(
-            sampling.bounce_keys(lane_keys, bounce, sampling.P_SCHLICK)
-        ))
+        su_, bu_, cn_, _ = sampling.bounce_draws(lane_keys, bounce, False)
+        sphere_dir = sg(sampling.on_unit_sphere_from_u(su_))
+        ball_dir = sg(sampling.in_unit_sphere_from_u(bu_))
+        coin = sg(cn_)
     if differentiable:
         sphere_dir = _cn(sphere_dir, "rng_sphere")
         ball_dir = _cn(ball_dir, "rng_ball")
@@ -596,9 +611,8 @@ def _bounce_step(scene, lane_keys, background, rr_start, state, bounce,
         thr, alive = args
         p = jnp.clip(jnp.max(jax.lax.stop_gradient(thr), axis=-1), 0.05, 1.0)
         has_rr = draws is not None and "roulette" in draws
-        u = draws["roulette"] if has_rr else sampling.uniform(
-            sampling.bounce_keys(lane_keys, bounce, sampling.P_ROULETTE)
-        )
+        u = (draws["roulette"] if has_rr
+             else sampling.bounce_draws(lane_keys, bounce, True)[3])
         survive = u < p
         thr = jnp.where((alive & survive)[..., None], thr / p[..., None], thr)
         return thr, alive & survive
@@ -807,12 +821,9 @@ def _trace_fused_cols(scene, origins, directions, lane_keys, background,
         if d_b is not None:
             su, bu, cn = d_b["sphere_u"], d_b["ball_u"], d_b["coin"]
         else:
-            su = sg(sampling.uniform2(
-                sampling.bounce_keys(lane_keys, bounce, sampling.P_LAMBERT)))
-            bu = sg(sampling.uniform3(
-                sampling.bounce_keys(lane_keys, bounce, sampling.P_FUZZ)))
-            cn = sg(sampling.uniform(
-                sampling.bounce_keys(lane_keys, bounce, sampling.P_SCHLICK)))
+            su_, bu_, cn_, _ = sampling.bounce_draws(lane_keys, bounce,
+                                                     False)
+            su, bu, cn = sg(su_), sg(bu_), sg(cn_)
         return su[:, 0], su[:, 1], bu[:, 0], bu[:, 1], bu[:, 2], cn
 
     def bounce_body(carry, bounce, d_b):
@@ -841,9 +852,8 @@ def _trace_fused_cols(scene, origins, directions, lane_keys, background,
                 0.05, 1.0,
             )
             has_rr = d_b is not None and "roulette" in d_b
-            u = d_b["roulette"] if has_rr else sampling.uniform(
-                sampling.bounce_keys(lane_keys, bounce, sampling.P_ROULETTE)
-            )
+            u = (d_b["roulette"] if has_rr
+                 else sampling.bounce_draws(lane_keys, bounce, True)[3])
             act = (al > 0.5) & (u < p)
             t0 = jnp.where(act, t0 / p, t0)
             t1 = jnp.where(act, t1 / p, t1)

@@ -266,15 +266,14 @@ def render_radiance_regen(
         alive, depth, lkeys = s["alive"], s["depth"], s["lkeys"]
         segments = s["segments"] + jnp.sum(alive.astype(jnp.float32))
 
-        # per-lane path depth drives the RNG fold (matches chunked
-        # mode).  Uniforms only here: the fused kernel transforms
-        # in-kernel; the composed branch transforms below.
-        sphere_u = sampling.uniform2(
-            sampling.bounce_keys(lkeys, depth, sampling.P_LAMBERT))
-        ball_u = sampling.uniform3(
-            sampling.bounce_keys(lkeys, depth, sampling.P_FUZZ))
-        coin = sampling.uniform(
-            sampling.bounce_keys(lkeys, depth, sampling.P_SCHLICK))
+        # per-lane path depth drives the RNG counter (matches chunked
+        # mode: sampling.bounce_draws, same scheme both paths).
+        # Uniforms only here: the fused kernel transforms in-kernel;
+        # the composed branch transforms below.  Roulette's draw
+        # shares the same 4 threefry blocks (packed scheme).
+        sphere_u, ball_u, coin, rl_u = sampling.bounce_draws(
+            lkeys, depth, rr_start is not None
+        )
 
         depth_old = depth
         depth = depth + alive.astype(jnp.int32)
@@ -324,9 +323,7 @@ def render_radiance_regen(
         # (integrator._bounce_step), so the estimator stays identical
         if rr_start is not None:
             p = jnp.clip(jnp.max(thr, axis=-1), 0.05, 1.0)
-            u = sampling.uniform(
-                sampling.bounce_keys(lkeys, depth_old, sampling.P_ROULETTE)
-            )
+            u = rl_u  # drawn above at bounce index depth_old == depth
             sel = cont & (depth_old >= rr_start)
             survive = u < p
             thr = jnp.where((sel & survive)[..., None],

@@ -21,6 +21,18 @@ rounds can distinguish intended ulp drift from real regressions):
   and the independent f64 oracle tests (tests/test_oracle_parity.py)
   pinned the estimator through the change; those carry the real
   correctness weight (DESIGN.md §13 "RNG-hoist trap").
+
+* round 5: ALL anchors regenerated when the packed counter-mode
+  scatter draws became the default (RPT_RNG_SCHEME=packed,
+  sampling.scatter_uniforms): a NEW RNG stream (4 threefry blocks per
+  lane-bounce instead of per-purpose fold chains — the fold chains
+  were ~60% of the nondiff forward on v5e, DESIGN.md §14).  Same
+  distributions, same estimator: packed vs legacy CornellBox means
+  agree to 0.04% over 4 keys, the oracle gate passes against a
+  3-seed-averaged anchor, and every cross-path identity (regen ==
+  chunked, cascade == plain, sharded == single) holds bitwise within
+  the scheme.  RPT_RNG_SCHEME=legacy reproduces the old stream (and
+  the round-4 goldens) exactly.
 """
 
 from __future__ import annotations

@@ -22,6 +22,18 @@ from rust_pathtracer_tpu.scene.builder import SceneBuilder
 
 def test_cornell_box_matches_oracle():
     res, spp = 20, 48
+    # Average THREE oracle seeds: a single 48-spp oracle render's mean
+    # swings +-6% seed-to-seed (measured 0.1328..0.1494 for seeds
+    # 1..4), so a one-seed anchor made the 6% gate a coin flip —
+    # the round-5 RNG-stream change re-rolled our side of it and a
+    # chance tail-vs-tail pairing failed with NO bias (packed vs
+    # legacy 4-key means agree to 0.04%).  Averaging cuts the oracle
+    # noise ~sqrt(3) so the 6% gate tests the ESTIMATOR, not luck.
+    oracle_mean = np.mean([
+        render_oracle(cornell_prims(), cornell_camera(), res, res, spp,
+                      12, (0, 0, 0), seed=k).mean()
+        for k in (1, 2, 3)
+    ])
     oracle_img = render_oracle(
         cornell_prims(), cornell_camera(), res, res, spp, 12, (0, 0, 0), seed=1
     )
@@ -30,9 +42,9 @@ def test_cornell_box_matches_oracle():
     ours, _ = render_radiance(sd.build(), sd.camera_at(0.0), s, jax.random.PRNGKey(0))
     ours = np.asarray(ours, np.float64)
 
-    # global mean within 6% (MC noise at this spp is ~3%)
-    assert abs(ours.mean() - oracle_img.mean()) / oracle_img.mean() < 0.06
-    # per-pixel agreement within noise bounds
+    # global mean within 6% of the averaged-oracle anchor
+    assert abs(ours.mean() - oracle_mean) / oracle_mean < 0.06
+    # per-pixel agreement within noise bounds (single-seed image)
     assert np.abs(ours - oracle_img).mean() < 0.12
 
 
